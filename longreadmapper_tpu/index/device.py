@@ -1,0 +1,88 @@
+"""HBM-resident device index: the TPU-native layout of the reference's
+in-RAM index set (fmi + lchash + SA + text; alnmain.c:179-256 `init`).
+
+Arrays (all jax, device-resident; pos dtype is int32 when the text fits,
+int64 for >2^31-byte genomes):
+
+  packed    (ceil(n/16),) int32   2-bit packed BWT (16 bases/word)
+  occ_samp  (ceil(n/16)+1, 4)     exclusive per-word base counts
+  c4        (4,)                  C-table entries for A,C,G,T (raw-char C[·])
+  sa        (n,)                  full suffix array (sa_access gathers)
+  lch       (4^hlen, 2)           precomputed (k, l) SA intervals per k-mer
+  text      (n,) int8             .cat text codes (alignment target gathers;
+                                  '$' = 4)
+  mta_start/mta_len (M,)          contig table for seq_lookup (alnmain.c:151)
+
+Static metadata lives in IndexMeta (hashable; safe as a jit static arg).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..formats.catmeta import MtaEntry, load_cat, load_mta
+from ..ops.rank import occ_samples, pack_codes
+from .fmi import FMIndex, encode_bytes
+
+
+class DeviceIndex(NamedTuple):
+    packed: jnp.ndarray
+    occ_samp: jnp.ndarray
+    c4: jnp.ndarray
+    sa: jnp.ndarray
+    lch: jnp.ndarray
+    text: jnp.ndarray
+    mta_start: jnp.ndarray
+    mta_len: jnp.ndarray
+
+
+@dataclass(frozen=True)
+class IndexMeta:
+    n: int            # .cat length including '$'
+    dollar_pos: int   # row of '$' in the BWT
+    hlen: int
+    n_contigs: int
+    pos_dtype: str    # 'int32' | 'int64'
+
+
+def build_device_index(fmi: FMIndex, lch_kl: np.ndarray, hlen: int,
+                       cat: np.ndarray, mta: list[MtaEntry],
+                       ) -> tuple[DeviceIndex, IndexMeta]:
+    """Assemble device arrays from host index structures."""
+    n = fmi.length
+    dtype = np.int32 if n < 2**31 else np.int64
+    bwt_codes = encode_bytes(fmi.bwt)
+    dollar_pos = int(np.nonzero(bwt_codes == 4)[0][0])
+    packed_codes = bwt_codes.copy()
+    packed_codes[dollar_pos] = 0
+    idx = DeviceIndex(
+        packed=jnp.asarray(pack_codes(packed_codes)),
+        occ_samp=jnp.asarray(occ_samples(bwt_codes, dollar_pos, dtype)),
+        c4=jnp.asarray(fmi.c4().astype(dtype)),
+        sa=jnp.asarray(fmi.sa.astype(dtype)),
+        lch=jnp.asarray(np.asarray(lch_kl, dtype=np.uint64).astype(dtype)),
+        text=jnp.asarray(encode_bytes(cat).astype(np.int8)),
+        mta_start=jnp.asarray(np.array([m.offset for m in mta], dtype=dtype)),
+        mta_len=jnp.asarray(np.array([m.seq_len for m in mta], dtype=dtype)),
+    )
+    meta = IndexMeta(n=n, dollar_pos=dollar_pos, hlen=hlen,
+                     n_contigs=len(mta), pos_dtype=np.dtype(dtype).name)
+    return idx, meta
+
+
+def load_device_index(genome_path: str) -> tuple[DeviceIndex, IndexMeta, list[MtaEntry]]:
+    """Load the persisted artifact set (.mta/.cat/.sa5/.mfi/.lch) to device —
+    the accaln `init` equivalent (alnmain.c:179-256)."""
+    from ..formats.lch import read_lch
+
+    prefix = genome_path + ".cat"
+    fmi = FMIndex.read(prefix, with_sa=True)
+    hlen, kl = read_lch(prefix + ".lch")
+    cat = load_cat(prefix)
+    mta = load_mta(genome_path + ".mta")
+    idx, meta = build_device_index(fmi, kl, hlen, cat, mta)
+    return idx, meta, mta

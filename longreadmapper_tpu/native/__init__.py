@@ -1,0 +1,232 @@
+"""ctypes bindings for the native C++ components (SA-IS, banded traceback).
+
+Compiled on first use with g++ into `_lrm_native.so` next to the sources;
+rebuilt when any source is newer than the library.  Every entry point has a
+pure-numpy fallback so the framework still functions (slowly) without a
+toolchain — `HAVE_NATIVE` reports which path is active.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SO = os.path.join(_DIR, "_lrm_native.so")
+_SOURCES = [os.path.join(_DIR, f) for f in ("sais.cpp", "align.cpp")]
+
+_lock = threading.Lock()
+_lib: Optional[ctypes.CDLL] = None
+HAVE_NATIVE = False
+
+
+def _build() -> bool:
+    try:
+        need = not os.path.exists(_SO) or any(
+            os.path.getmtime(src) > os.path.getmtime(_SO) for src in _SOURCES
+        )
+        if need:
+            cmd = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC",
+                   "-o", _SO + ".tmp", *_SOURCES]
+            subprocess.run(cmd, check=True, capture_output=True)
+            os.replace(_SO + ".tmp", _SO)
+        return True
+    except Exception:
+        return False
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib, HAVE_NATIVE
+    with _lock:
+        if _lib is not None:
+            return _lib
+        if not _build():
+            return None
+        try:
+            lib = ctypes.CDLL(_SO)
+        except OSError:
+            return None
+        lib.lrm_sais_u8.restype = ctypes.c_int
+        lib.lrm_sais_u8.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64),
+        ]
+        lib.lrm_traceback.restype = ctypes.c_int32
+        lib.lrm_traceback.argtypes = [
+            ctypes.POINTER(ctypes.c_int16), ctypes.c_int32, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int32, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int32,
+        ]
+        lib.lrm_banded_align.restype = ctypes.c_int32
+        lib.lrm_banded_align.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int32, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int32, ctypes.POINTER(ctypes.c_int32),
+        ]
+        _lib = lib
+        HAVE_NATIVE = True
+        return _lib
+
+
+def _as_u8_ptr(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+
+
+def suffix_array(text: np.ndarray) -> np.ndarray:
+    """Suffix array of a uint8 text (implicit smallest sentinel convention)."""
+    text = np.ascontiguousarray(text, dtype=np.uint8)
+    n = text.shape[0]
+    lib = _load()
+    if lib is not None:
+        sa = np.empty(n, dtype=np.int64)
+        rc = lib.lrm_sais_u8(_as_u8_ptr(text), n,
+                             sa.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+        if rc == 0:
+            return sa
+    return _suffix_array_numpy(text)
+
+
+def _suffix_array_numpy(text: np.ndarray) -> np.ndarray:
+    """O(n log^2 n) prefix-doubling fallback via np.lexsort."""
+    n = text.shape[0]
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    rank = text.astype(np.int64)
+    sa = np.argsort(rank, kind="stable").astype(np.int64)
+    k = 1
+    tmp = np.empty(n, dtype=np.int64)
+    while True:
+        # second key: rank[i+k], -1 past the end (sentinel = smallest)
+        second = np.full(n, -1, dtype=np.int64)
+        second[: n - k] = rank[k:]
+        order = np.lexsort((second, rank))
+        key1 = rank[order]
+        key2 = second[order]
+        changed = np.empty(n, dtype=np.int64)
+        changed[0] = 0
+        changed[1:] = (np.diff(key1) != 0) | (np.diff(key2) != 0)
+        tmp[order] = np.cumsum(changed)
+        rank, tmp = tmp, rank
+        sa = order
+        if rank[order[-1]] == n - 1:
+            break
+        k *= 2
+    return sa.astype(np.int64)
+
+
+def traceback(H: np.ndarray, W: int, q: np.ndarray, t: np.ndarray,
+              qlen: int, tlen: int) -> Optional[List[Tuple[int, str]]]:
+    """CIGAR traceback over a banded H matrix ((qlen+1, band) int16).
+
+    Returns [(count, op), ...] or None if no in-band path exists.
+    """
+    H = np.ascontiguousarray(H, dtype=np.int16)
+    band = H.shape[1]
+    q = np.ascontiguousarray(q, dtype=np.uint8)
+    t = np.ascontiguousarray(t, dtype=np.uint8)
+    lib = _load()
+    max_ops = 2 * (qlen + tlen) + 4
+    if lib is not None:
+        ops = np.empty(max_ops, dtype=np.uint8)
+        lens = np.empty(max_ops, dtype=np.int32)
+        n = lib.lrm_traceback(
+            H.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)), band, W,
+            _as_u8_ptr(q), _as_u8_ptr(t), qlen, tlen,
+            _as_u8_ptr(ops), lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            max_ops)
+        if n < 0:
+            return None
+        return [(int(lens[i]), chr(ops[i])) for i in range(n)]
+    return _traceback_py(H, W, q, t, qlen, tlen)
+
+
+INF16 = 0x3FFF
+
+
+def _traceback_py(H, W, q, t, qlen, tlen):
+    band = H.shape[1]
+    i, j = qlen, tlen
+    d = j - i + W
+    if d < 0 or d >= band or H[i, d] >= INF16:
+        return None
+    rev = []
+    while i > 0 or j > 0:
+        cur = H[i, d]
+        if (i > 0 and j > 0 and H[i - 1, d] < INF16
+                and H[i - 1, d] + (1 if q[i - 1] != t[j - 1] else 0) == cur):
+            rev.append("M"); i -= 1; j -= 1
+        elif i > 0 and d + 1 < band and H[i - 1, d + 1] + 1 == cur:
+            rev.append("I"); i -= 1; d += 1
+        elif j > 0 and d - 1 >= 0 and H[i, d - 1] + 1 == cur:
+            rev.append("D"); j -= 1; d -= 1
+        else:
+            return None
+    ops: List[Tuple[int, str]] = []
+    for op in reversed(rev):
+        if ops and ops[-1][1] == op:
+            ops[-1] = (ops[-1][0] + 1, op)
+        else:
+            ops.append((1, op))
+    return ops
+
+
+def banded_align(q: np.ndarray, t: np.ndarray, W: int):
+    """CPU banded NW: returns (ed, ops) with ed=-1/ops=None when out-of-band."""
+    q = np.ascontiguousarray(q, dtype=np.uint8)
+    t = np.ascontiguousarray(t, dtype=np.uint8)
+    qlen, tlen = q.shape[0], t.shape[0]
+    lib = _load()
+    if lib is not None:
+        max_ops = 2 * (qlen + tlen) + 4
+        ops = np.empty(max_ops, dtype=np.uint8)
+        lens = np.empty(max_ops, dtype=np.int32)
+        ed = ctypes.c_int32(-1)
+        n = lib.lrm_banded_align(
+            _as_u8_ptr(q), qlen, _as_u8_ptr(t), tlen, W,
+            _as_u8_ptr(ops), lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            max_ops, ctypes.byref(ed))
+        if ed.value < 0:
+            return -1, None
+        return int(ed.value), [(int(lens[i]), chr(ops[i])) for i in range(n)]
+    return _banded_align_py(q, t, W)
+
+
+def _banded_align_py(q, t, W):
+    qlen, tlen = q.shape[0], t.shape[0]
+    band = 2 * W + 1
+    H = np.full((qlen + 1, band), INF16, dtype=np.int16)
+    for d in range(W, band):
+        j = d - W
+        if j <= tlen:
+            H[0, d] = j
+    for i in range(1, qlen + 1):
+        for d in range(band):
+            j = i + d - W
+            if j < 0 or j > tlen:
+                continue
+            if j == 0:
+                H[i, d] = i
+                continue
+            best = INF16
+            if H[i - 1, d] < INF16:
+                best = min(best, H[i - 1, d] + (1 if q[i - 1] != t[j - 1] else 0))
+            if d + 1 < band and H[i - 1, d + 1] < INF16:
+                best = min(best, H[i - 1, d + 1] + 1)
+            if d - 1 >= 0 and H[i, d - 1] < INF16:
+                best = min(best, H[i, d - 1] + 1)
+            H[i, d] = best
+    d_end = tlen - qlen + W
+    if d_end < 0 or d_end >= band or H[qlen, d_end] >= INF16:
+        return -1, None
+    ops = _traceback_py(H, W, q, t, qlen, tlen)
+    if ops is None:
+        return -1, None
+    return int(H[qlen, d_end]), ops

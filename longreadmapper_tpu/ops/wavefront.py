@@ -1,0 +1,96 @@
+"""Banded global-alignment DP on TPU (the GACT compute core).
+
+Observable contract of the reference's GACT aligner (absent submodule; API at
+/root/reference/mutils.c:94-105): unit-cost global alignment of a read
+against a same-length reference window; score = edit distance; fails (-1)
+when the distance exceeds the limit 2*ERROR_RATE*len (alnmain.c:428).
+
+TPU design (SURVEY.md §7.7): a banded Needleman-Wunsch over rows, the whole
+read batch vectorized.  Band coordinate d = j - i + W (W = static half-width,
+chosen >= every read's limit so in-limit alignments are exact).  The in-row
+insertion dependency H(i,j-1)+1 is resolved with a min-plus prefix scan
+(log2(band) shift steps), so each row is O(log band) vector ops — no scalar
+loops, everything on the VPU.
+
+The full banded score matrix H is emitted ((B, L+1, band) int16) for host
+traceback (longreadmapper_tpu/native/align.cpp) — the CIGAR walk is the one
+sequential part of GACT.  Padding conventions: query padding code 4 never
+matches target padding code 5; '$'/out-of-range target positions also map to
+5; cells outside the band or the DP domain hold INF (0x3FFF).
+
+This file is the reference jnp implementation; ops/wavefront_pallas.py holds
+the fused Pallas kernel (same contract, checked against this in tests).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+INF = 0x3FFF
+
+
+def _minplus_scan(x, band: int):
+    """Inclusive min-plus scan: out[d] = min_{e<=d} x[e] + (d - e)."""
+    s = 1
+    while s < band:
+        shifted = jnp.concatenate(
+            [jnp.full(x.shape[:-1] + (s,), INF, x.dtype), x[..., :-s]], axis=-1)
+        x = jnp.minimum(x, shifted + s)
+        s *= 2
+    return x
+
+
+from functools import partial
+
+
+@partial(jax.jit, static_argnames=("W", "band"))
+def banded_nw_scores(q, t, W: int, band: int):
+    """Banded NW score matrix for a batch.
+
+    q: (B, L) query codes (0..3, 4=N), padded with 4.
+    t: (B, L) target codes with '$'/N/padding remapped to 5 by the caller.
+    W: static half band width; band: static total width (>= 2W+1, typically
+       padded to a lane multiple).
+    Returns H: (B, L+1, band) int16.
+    """
+    B, L = q.shape
+    dt = jnp.int32
+
+    # row 0: H(0, j) = j for 0 <= j <= L within band
+    d_idx = jnp.arange(band, dtype=dt)
+    j0 = d_idx - W
+    row0 = jnp.where((j0 >= 0) & (j0 <= L), jnp.abs(j0), INF).astype(dt)
+    row0 = jnp.broadcast_to(row0[None, :], (B, band))
+
+    # target padded so tw[d] = t[i + d - W - 1] = tpad[i + d]
+    tpad = jnp.pad(t.astype(jnp.int8), ((0, 0), (W + 1, band)),
+                   constant_values=5)
+
+    def step(hprev, i):
+        tw = lax.dynamic_slice(tpad, (0, i), (B, band)).astype(dt)
+        qc = lax.dynamic_slice(q, (0, i - 1), (B, 1)).astype(dt)
+        sub = (qc != tw).astype(dt)
+        up = jnp.concatenate(
+            [hprev[:, 1:], jnp.full((B, 1), INF, dt)], axis=1)
+        cand = jnp.minimum(hprev + sub, up + 1)
+        row = _minplus_scan(cand, band)
+        # mask outside DP domain: j = i + d - W must be in [0, L]
+        j = i + d_idx[None, :] - W
+        row = jnp.where((j >= 0) & (j <= L), row, INF)
+        row = jnp.minimum(row, INF)
+        return row, row.astype(jnp.int16)
+
+    _, rows = lax.scan(step, row0, jnp.arange(1, L + 1))
+    H = jnp.concatenate([row0.astype(jnp.int16)[None], rows], axis=0)
+    return jnp.transpose(H, (1, 0, 2))
+
+
+@partial(jax.jit, static_argnames=("W", "band"))
+def banded_nw_ed(q, t, lens, W: int, band: int):
+    """Edit distances only: returns (ed (B,), H).  ed = H[b, len_b, W]."""
+    H = banded_nw_scores(q, t, W, band)
+    B = q.shape[0]
+    ed = H[jnp.arange(B), lens.astype(jnp.int64), W].astype(jnp.int32)
+    return ed, H

@@ -1,0 +1,127 @@
+"""Property tests for the core device ops against pure-Python references."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from longreadmapper_tpu.ops.vote import top2_votes, top2_small_histo
+from longreadmapper_tpu.ops.wavefront import banded_nw_scores, banded_nw_ed, INF
+from longreadmapper_tpu import native
+
+
+def ref_histo_top2(keys):
+    """Literal transcription of histo.c add/find_2_max semantics."""
+    entries = []  # (bucket, key_min, count) in insertion order
+    for key in keys:
+        b = key >> 4
+        found = False
+        for e in entries:
+            if e[0] == b:
+                e[2] += 1
+                e[1] = min(e[1], key)
+                found = True
+        if not found:
+            entries.append([b, key, 1])
+    store = [[0, 0, 0], [0, 0, 0]]  # (bucket, key, val) x2
+    for e in entries:
+        b, k, v = e
+        if store[1][2] < v and store[0][2] < v:
+            store[1] = store[0]
+            store[0] = [b, k, v]
+        elif store[1][2] < v and store[0][2] >= v:
+            store[1] = [b, k, v]
+    return store[0][2], store[0][1], store[1][2]  # v1, key1, v2
+
+
+@pytest.mark.parametrize("seed", range(5))
+def test_top2_votes_matches_reference_histo(seed):
+    rng = np.random.default_rng(seed)
+    B, V = 7, 64
+    keys = rng.integers(-50, 200, (B, V)).astype(np.int64)
+    valid = rng.random((B, V)) < 0.7
+    v1, k1, v2 = top2_votes(jnp.asarray(keys), jnp.asarray(valid))
+    for b in range(B):
+        ks = [int(k) for k, ok in zip(keys[b], valid[b]) if ok]
+        ev1, ek1, ev2 = ref_histo_top2(ks)
+        assert (int(v1[b]), int(k1[b]), int(v2[b])) == (ev1, ek1, ev2), b
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_top2_small_histo_matches(seed):
+    rng = np.random.default_rng(seed + 100)
+    B, P = 5, 21
+    keys = rng.integers(0, 120, (B, P)).astype(np.int64)
+    valid = rng.random((B, P)) < 0.5
+    v1, k1, v2 = top2_small_histo(jnp.asarray(keys), jnp.asarray(valid))
+    for b in range(B):
+        ks = [int(k) for k, ok in zip(keys[b], valid[b]) if ok]
+        ev1, ek1, ev2 = ref_histo_top2(ks)
+        assert (int(v1[b]), int(k1[b]), int(v2[b])) == (ev1, ek1, ev2), b
+
+
+def full_nw(q, t):
+    """Unbanded NW edit distance."""
+    n, m = len(q), len(t)
+    H = np.zeros((n + 1, m + 1), dtype=np.int32)
+    H[0, :] = np.arange(m + 1)
+    H[:, 0] = np.arange(n + 1)
+    for i in range(1, n + 1):
+        for j in range(1, m + 1):
+            H[i, j] = min(H[i - 1, j - 1] + (q[i - 1] != t[j - 1]),
+                          H[i - 1, j] + 1, H[i, j - 1] + 1)
+    return H[n, m]
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_banded_nw_matches_full_nw(seed):
+    rng = np.random.default_rng(seed)
+    B, L, W = 4, 48, 12
+    band = 2 * W + 1
+    q = rng.integers(0, 4, (B, L)).astype(np.int8)
+    t = q.copy()
+    # inject < W edits per read so the band is sufficient
+    for b in range(B):
+        for _ in range(int(rng.integers(0, W // 2))):
+            t[b, rng.integers(0, L)] = rng.integers(0, 4)
+    lens = np.full(B, L, dtype=np.int32)
+    ed, H = banded_nw_ed(jnp.asarray(q), jnp.asarray(t), jnp.asarray(lens), W, band)
+    for b in range(B):
+        assert int(ed[b]) == full_nw(q[b], t[b])
+
+
+def test_banded_nw_variable_lengths():
+    rng = np.random.default_rng(9)
+    B, L, W = 3, 40, 8
+    band = 2 * W + 1
+    q = np.full((B, L), 4, dtype=np.int8)
+    t = np.full((B, L), 5, dtype=np.int8)
+    lens = np.array([40, 25, 10], dtype=np.int32)
+    for b in range(B):
+        x = rng.integers(0, 4, lens[b])
+        q[b, :lens[b]] = x
+        t[b, :lens[b]] = x
+        t[b, 3] = (t[b, 3] + 1) % 4  # one mismatch
+    ed, H = banded_nw_ed(jnp.asarray(q), jnp.asarray(t), jnp.asarray(lens), W, band)
+    assert list(np.asarray(ed)) == [1, 1, 1]
+
+
+def test_traceback_reconstructs_cigar():
+    rng = np.random.default_rng(11)
+    L, W = 60, 10
+    band = 2 * W + 1
+    q = rng.integers(0, 4, L).astype(np.uint8)
+    # target: delete 2 bases, then append 2 (same length overall)
+    t = np.concatenate([q[:20], q[22:], rng.integers(0, 4, 2)]).astype(np.uint8)
+    lens = np.full(1, L, np.int32)
+    ed, H = banded_nw_ed(jnp.asarray(q[None].astype(np.int8)),
+                         jnp.asarray(t[None].astype(np.int8)),
+                         jnp.asarray(lens), W, band)
+    ops = native.traceback(np.asarray(H[0]), W, q, t, L, L)
+    assert ops is not None
+    # CIGAR must consume exactly L query and L target
+    qlen = sum(n for n, op in ops if op in "MI")
+    tlen = sum(n for n, op in ops if op in "MD")
+    assert qlen == L and tlen == L
+    # op cost must equal edit distance within band
+    ed_host, ops_host = native.banded_align(q, t, W)
+    assert ed_host == int(ed[0])
