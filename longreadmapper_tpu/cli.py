@@ -1,0 +1,78 @@
+"""Command-line entry points.
+
+Two subcommands mirroring the reference binaries (SURVEY.md §1 L5/L6):
+
+  index  — accidx equivalent: `... index ref.fa [--hlen N] [--o-ratio N]
+           [--n-seed N] [--host-only]` (reference argv: asindex.c:129)
+  map    — accaln equivalent: `... map ref.fa reads.fq [batch seed thres]`
+           with the same positional-parameter contract and `params`-file
+           fallback as the reference (alnmain.c:560-588)
+
+Usage: python -m longreadmapper_tpu.cli <index|map> ...
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+from .utils.config import Params, read_params
+
+
+def main(argv=None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    ap = argparse.ArgumentParser(prog="longreadmapper_tpu")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    ia = sub.add_parser("index", help="build the reference index (accidx)")
+    ia.add_argument("fasta")
+    ia.add_argument("--hlen", type=int, default=12)
+    ia.add_argument("--o-ratio", type=int, default=32)
+    ia.add_argument("--n-seed", type=int, default=0)
+    ia.add_argument("--host-only", action="store_true",
+                    help="build lchash on host instead of the accelerator")
+    ia.add_argument("--quiet", action="store_true")
+
+    ma = sub.add_parser("map", help="map reads, SAM to stdout (accaln)")
+    ma.add_argument("fasta")
+    ma.add_argument("reads")
+    ma.add_argument("pos", nargs="*", type=int,
+                    help="optional: batch_size seed_len thres "
+                         "(else ./params file, else defaults 1000/20/300)")
+    ma.add_argument("--chunk-b", type=int, default=0,
+                    help="reads per device chunk (default: params.chunk_size)")
+    ma.add_argument("--rg-id", type=int, default=None,
+                    help="@RG timestamp id (default: current time, as the "
+                         "reference; pass 0 for reproducible output)")
+    ma.add_argument("--quiet", action="store_true")
+
+    args = ap.parse_args(argv)
+
+    if args.cmd == "index":
+        from .runtime.accidx import build_index
+        p = Params(hlen=args.hlen, o_ratio=args.o_ratio, n_seed=args.n_seed)
+        build_index(args.fasta, p, use_device=not args.host_only,
+                    verbose=not args.quiet)
+        return 0
+
+    if args.cmd == "map":
+        from .runtime.accaln import run_mapping
+        if len(args.pos) == 3:
+            p = Params(batch_size=args.pos[0], seed_len=args.pos[1],
+                       thres=args.pos[2])
+        elif len(args.pos) == 0:
+            p = read_params("params")
+        else:
+            ap.error("map takes either 0 or 3 positional parameters "
+                     "(batch_size seed_len thres)")
+        rg_id = args.rg_id if args.rg_id is not None else int(time.time())
+        run_mapping(args.fasta, args.reads, p, sys.stdout, rg_id=rg_id,
+                    chunk_b=args.chunk_b, verbose=not args.quiet)
+        return 0
+
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

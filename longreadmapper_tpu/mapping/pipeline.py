@@ -1,0 +1,252 @@
+"""The batched device mapping step: seed -> vote -> locate -> align.
+
+Replicates the per-read control flow of the reference's PART 1-3
+(/root/reference/alnmain.c:330-477) as masked, batched JAX:
+
+  for iter in 0..seed_len+gap (phase-shifted seed tilings, :349):
+      seeds at j = iter, iter+sl+gl, ... while j < len - sl        (:353)
+      lc_aln each seed; informative iff 0 < hits < thres           (:356-360)
+      every SA hit votes diagonal SA[k]-j into an in-phase histo   (:362-367)
+      score = top2_votes / (len // (sl+gl))                        (:371-375)
+      score > 0.6  -> accept top-1, stop                           (:378-384)
+      else top-1 key joins the cross-phase (outer) histogram       (:386-388)
+  no acceptance OR acceptance on the LAST phase -> best = outer top-1
+      (:400-403 — note `iter >= sl+gl-1` is also true when the break
+       happened at iter == sl+gl-1, overwriting that acceptance; we
+       replicate this quirk)
+
+  locate: seq_lookup maps the winning .cat offset to (contig, strand,
+      forward offset) (:151-176); reverse-strand reads are
+      reverse-complemented before alignment (:433-438)
+  align: banded NW vs the same-length window at the located offset with
+      limit = (int)(ERROR_RATE * len * 2) (:428); distance > limit => -1
+      (unmapped, flag 0x4)
+
+The phase loop is a lax.while_loop with per-read done masks — it runs
+max(phases-to-accept) iterations for the whole batch, not always all 21.
+Everything is static-shaped; per-seed SA-interval expansion is capped at
+thres-1 (exact: informative seeds have < thres hits).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from ..index.device import DeviceIndex, IndexMeta
+from ..ops.rank import backward_step
+from ..ops.vote import top2_small_histo, top2_votes
+from ..ops.wavefront import banded_nw_scores
+from ..utils.config import Params
+
+
+@dataclass(frozen=True)
+class MapperConfig:
+    """Static pipeline shape parameters (hashable; closed over by jit)."""
+    B: int               # reads per device chunk
+    L: int               # padded max read length
+    seed_len: int
+    gap_len: int
+    thres: int
+    hit_cap: int
+    hlen: int
+    n: int               # .cat length
+    dollar_pos: int
+    accept_score: float
+    error_rate: float
+
+    @property
+    def phases(self) -> int:
+        return self.seed_len + self.gap_len
+
+    @property
+    def step(self) -> int:
+        return self.seed_len + self.gap_len
+
+    @property
+    def max_seeds(self) -> int:
+        # j = iter + s*step, strict j < L - seed_len (alnmain.c:353)
+        if self.L <= self.seed_len:
+            return 1
+        return max(1, -(-(self.L - self.seed_len) // self.step))
+
+    @property
+    def W(self) -> int:
+        # static band half-width >= every read's limit (len <= L)
+        return max(8, int(self.error_rate * self.L * 2))
+
+    @property
+    def band(self) -> int:
+        return -(-(2 * self.W + 1) // 128) * 128
+
+    @staticmethod
+    def from_params(p: Params, meta: IndexMeta, B: int, L: int) -> "MapperConfig":
+        return MapperConfig(
+            B=B, L=L, seed_len=p.seed_len, gap_len=p.gap_len, thres=p.thres,
+            hit_cap=p.effective_hit_cap(), hlen=meta.hlen, n=meta.n,
+            dollar_pos=meta.dollar_pos, accept_score=p.accept_score,
+            error_rate=p.error_rate)
+
+
+def _seed_phase(cfg: MapperConfig, idx: DeviceIndex, codes, lens, it):
+    """One seeding phase for the whole batch: returns (v1, key1, v2, num_seeds)."""
+    B, S, sl, hlen = cfg.B, cfg.max_seeds, cfg.seed_len, cfg.hlen
+    left = sl - hlen
+    pos_dtype = idx.sa.dtype
+
+    j = it + jnp.arange(S, dtype=jnp.int32) * cfg.step            # (S,)
+    seed_ok = j[None, :] < (lens[:, None].astype(jnp.int32) - sl)  # (B,S)
+
+    # gather seed codes (B, S, sl)
+    gidx = jnp.clip(j[:, None] + jnp.arange(sl, dtype=jnp.int32)[None, :],
+                    0, cfg.L - 1)                                  # (S, sl)
+    seeds = codes[:, gidx].astype(jnp.int32)                       # (B,S,sl)
+
+    # lc_aln (lchash.c:89-104): 2-bit hash of the LAST hlen bases
+    tail = seeds[:, :, left:]                                      # (B,S,hlen)
+    weights = (2 * (hlen - 1 - np.arange(hlen))).astype(np.int64)
+    num = jnp.sum(tail.astype(jnp.int64) << jnp.asarray(weights), axis=-1)
+    hash_ok = jnp.all(tail < 4, axis=-1)
+    num = jnp.clip(num, 0, (1 << (2 * hlen)) - 1)
+    kl = idx.lch[num]                                              # (B,S,2)
+    k, l = kl[..., 0], kl[..., 1]
+    present = hash_ok & seed_ok & ~((k == 0) & (l == 0))
+
+    if left > 0:
+        def bstep(carry, i):
+            kk, ll = carry
+            c = seeds[:, :, left - 1 - i]
+            kk, ll = backward_step(idx.c4, idx.packed, idx.occ_samp,
+                                   cfg.dollar_pos, kk, ll, c,
+                                   present & (kk <= ll))
+            return (kk, ll), None
+        (k, l), _ = lax.scan(bstep, (k, l), jnp.arange(left))
+
+    hits = jnp.where(present & (k <= l), (l - k + 1).astype(jnp.int32), 0)
+    informative = (hits > 0) & (hits < cfg.thres)                  # (B,S)
+
+    # SA-interval expansion: cap thres-1 slots per seed (alnmain.c:362-367)
+    cap = cfg.hit_cap
+    t = jnp.arange(cap, dtype=jnp.int32)
+    pos = k[..., None].astype(pos_dtype) + t                       # (B,S,cap)
+    vvalid = informative[..., None] & (t[None, None, :] < hits[..., None])
+    sa_val = idx.sa[jnp.clip(pos, 0, cfg.n - 1)]
+    keys = (sa_val.astype(jnp.int64)
+            - j[None, :, None].astype(jnp.int64))                  # diagonal
+    V = S * cap
+    v1, key1, v2 = top2_votes(keys.reshape(B, V), vvalid.reshape(B, V))
+    num_seeds = (lens.astype(jnp.int32) // cfg.step)
+    return v1, key1, v2, num_seeds
+
+
+def _seed_vote(cfg: MapperConfig, idx: DeviceIndex, codes, lens):
+    """The full phase loop; returns best candidate .cat offset per read."""
+    B, P = cfg.B, cfg.phases
+
+    def cond(state):
+        it, done, *_ = state
+        return (it < P) & jnp.any(~done)
+
+    def body(state):
+        it, done, best, acc_it, okeys, ovalid = state
+        v1, key1, v2, num_seeds = _seed_phase(cfg, idx, codes, lens, it)
+        has_seeds = num_seeds > 0
+        score = (v1 + v2).astype(jnp.float64) / jnp.maximum(num_seeds, 1)
+        accept = has_seeds & (score > cfg.accept_score)
+        newly = ~done & accept
+        best = jnp.where(newly, key1, best)
+        acc_it = jnp.where(newly, it, acc_it)
+        # outer histogram add (alnmain.c:386-388): non-accepted phases with
+        # a nonzero top-1 vote contribute their top-1 key
+        outer_add = ~done & has_seeds & ~accept & (v1 != 0)
+        onehot = (jnp.arange(P, dtype=jnp.int32) == it)[None, :]
+        okeys = jnp.where(onehot & outer_add[:, None], key1[:, None], okeys)
+        ovalid = ovalid | (onehot & outer_add[:, None])
+        done = done | newly
+        return it + 1, done, best, acc_it, okeys, ovalid
+
+    state0 = (
+        jnp.int32(0),
+        jnp.zeros(B, bool),
+        jnp.zeros(B, jnp.int64),
+        jnp.full(B, -1, jnp.int32),
+        jnp.zeros((B, P), jnp.int64),
+        jnp.zeros((B, P), bool),
+    )
+    _, done, best, acc_it, okeys, ovalid = lax.while_loop(cond, body, state0)
+
+    # post-loop overwrite (alnmain.c:400-403): reads that never accepted OR
+    # accepted exactly on the last phase take the outer histogram's top-1
+    _, okey1, _ = top2_small_histo(okeys, ovalid)
+    need_outer = ~done | (acc_it == P - 1)
+    return jnp.where(need_outer, okey1, best)
+
+
+def _seq_lookup(idx: DeviceIndex, loc, qlen):
+    """Vectorized seq_lookup (alnmain.c:151-176): first contig whose forward
+    or reverse half fully contains [loc, loc+qlen)."""
+    start = idx.mta_start.astype(jnp.int64)[None, :]   # (1,M)
+    slen = idx.mta_len.astype(jnp.int64)[None, :]
+    end = start + 2 * slen
+    loc_ = loc[:, None]
+    q_ = qlen[:, None].astype(jnp.int64)
+    fwd = (loc_ >= start) & (loc_ + q_ <= start + slen)
+    rev = (loc_ >= start + slen) & (loc_ + q_ <= end)
+    hit = fwd | rev
+    found = jnp.any(hit, axis=1)
+    gi = jnp.argmax(hit, axis=1)
+    g_start = jnp.take(idx.mta_start.astype(jnp.int64), gi)
+    g_len = jnp.take(idx.mta_len.astype(jnp.int64), gi)
+    g_end = g_start + 2 * g_len
+    strand = jnp.take_along_axis(rev, gi[:, None], axis=1)[:, 0] & found
+    off = jnp.where(strand, g_end - loc - qlen.astype(jnp.int64),
+                    loc - g_start)
+    loc_fwd = jnp.where(strand, off + g_start, loc)
+    return found, gi.astype(jnp.int32), strand, off, loc_fwd
+
+
+def make_map_step(cfg: MapperConfig):
+    """Build the jitted device mapping step.
+
+    step(idx, codes (B,L) int8, lens (B,) int32) ->
+      dict(best, found, gi, strand, off, ed, limit, H, q_aligned)
+    """
+
+    @jax.jit
+    def step(idx: DeviceIndex, codes, lens):
+        B, L, W, band = cfg.B, cfg.L, cfg.W, cfg.band
+        best = _seed_vote(cfg, idx, codes, lens)
+
+        # PART 2: locate + align (alnmain.c:420-451)
+        found, gi, strand, off, loc_fwd = _seq_lookup(idx, best, lens)
+        safe_loc = jnp.clip(jnp.where(found, loc_fwd, 0), 0, cfg.n - 1)
+
+        # reverse complement reads that hit the reverse half (:433-438)
+        i_idx = jnp.arange(L, dtype=jnp.int32)[None, :]
+        rc_pos = jnp.clip(lens[:, None].astype(jnp.int32) - 1 - i_idx, 0, L - 1)
+        q_rc_raw = jnp.take_along_axis(codes, rc_pos, axis=1)
+        q_rc = jnp.where(q_rc_raw < 4, 3 - q_rc_raw, q_rc_raw)
+        in_read = i_idx < lens[:, None].astype(jnp.int32)
+        q_rc = jnp.where(in_read, q_rc, jnp.int8(4)).astype(jnp.int8)
+        q = jnp.where(strand[:, None], q_rc, codes)
+
+        # target window gather; '$'/padding -> 5 so it never matches
+        tpos = jnp.clip(safe_loc[:, None] + i_idx.astype(jnp.int64), 0, cfg.n - 1)
+        t = idx.text[tpos]
+        t = jnp.where(t >= 4, jnp.int8(5), t)
+
+        H = banded_nw_scores(q, t, W, band)
+        ed_raw = H[jnp.arange(B), lens.astype(jnp.int64), W].astype(jnp.int32)
+        # limit = (int)(ERROR_RATE * len * 2), C double math (alnmain.c:428)
+        limit = ((cfg.error_rate * lens.astype(jnp.float64)) * 2).astype(jnp.int32)
+        ed = jnp.where(ed_raw <= limit, ed_raw, -1)
+
+        return dict(best=best, found=found, gi=gi, strand=strand, off=off,
+                    ed=ed, limit=limit, H=H, q_aligned=q, target=t)
+
+    return step

@@ -1,0 +1,132 @@
+"""TPUMapper — the flagship end-to-end mapping model.
+
+Bundles the HBM-resident DeviceIndex with jitted mapping steps (one per
+read-length bucket) and the host post-processing (CIGAR traceback + SAM
+field assembly).  This is the framework's equivalent of the reference's
+whole `accaln` per-batch path (/root/reference/alnmain.c:302-527).
+
+Defined-behavior choices where the reference is UB (shared with oracle/):
+  - unmapped reads (flag 0x4) always emit CIGAR '*' and ED:I:-1; lookup
+    failures emit RNAME '*' (the reference prints uninitialized memory
+    there, alnmain.c:458-475)
+  - device band half-width is max(8, limit(L)) for the padded length L;
+    since every read's limit <= band, scores and tracebacks for accepted
+    (<= limit) alignments are exact and band-width independent.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from .. import native
+from ..formats.catmeta import MtaEntry
+from ..formats.fastx import encode_seq
+from ..formats.sam import cigar_string, sam_record
+from ..index.device import DeviceIndex, IndexMeta
+from ..mapping.pipeline import MapperConfig, make_map_step
+from ..oracle.refpipe import revcomp
+from ..utils.config import Params
+
+
+@dataclass
+class MapRecord:
+    qname: str
+    flag: int
+    rname: str
+    off: int          # 0-based; SAM POS = off + 1
+    mapq: int
+    cigar: str
+    seq: str
+    qual: str
+    ed: int
+    valid: bool
+
+    def to_sam(self) -> str:
+        return sam_record(self.qname, self.flag, self.rname, self.off,
+                          self.mapq, self.cigar, self.seq, self.qual, self.ed)
+
+
+def _bucket_len(n: int, minimum: int = 128) -> int:
+    """Round read length up to a bucket (powers of two to 1K, then 1K steps)
+    to bound jit recompiles across batches."""
+    b = minimum
+    while b < n and b < 1024:
+        b *= 2
+    if b < n:
+        b = -(-n // 1024) * 1024
+    return b
+
+
+class TPUMapper:
+    def __init__(self, idx: DeviceIndex, meta: IndexMeta,
+                 mta: Sequence[MtaEntry], params: Params,
+                 chunk_b: int = 0):
+        self.idx = idx
+        self.meta = meta
+        self.mta = list(mta)
+        self.params = params
+        self.B = chunk_b or params.chunk_size
+        self._steps = {}
+
+    def _step_for(self, L: int):
+        if L not in self._steps:
+            cfg = MapperConfig.from_params(self.params, self.meta, self.B, L)
+            self._steps[L] = (cfg, make_map_step(cfg))
+        return self._steps[L]
+
+    def map_chunk(self, reads: Sequence[Tuple[str, str, Optional[str]]]
+                  ) -> List[MapRecord]:
+        """Map up to B reads: (name, seq, qual) tuples -> MapRecords."""
+        n_real = len(reads)
+        assert n_real <= self.B
+        max_len = max((len(s) for _, s, _ in reads), default=1)
+        L = _bucket_len(max_len)
+        cfg, step = self._step_for(L)
+
+        codes = np.full((self.B, L), 4, dtype=np.int8)
+        lens = np.zeros(self.B, dtype=np.int32)
+        for i, (_, seq, _) in enumerate(reads):
+            codes[i, :len(seq)] = encode_seq(seq)
+            lens[i] = len(seq)
+
+        out = step(self.idx, jnp.asarray(codes), jnp.asarray(lens))
+        return self._postprocess(cfg, reads, lens, out)
+
+    def _postprocess(self, cfg: MapperConfig, reads, lens, out) -> List[MapRecord]:
+        found = np.asarray(out["found"])
+        gi = np.asarray(out["gi"])
+        strand = np.asarray(out["strand"])
+        off = np.asarray(out["off"])
+        ed = np.asarray(out["ed"])
+        H = np.asarray(out["H"])
+        q_aln = np.asarray(out["q_aligned"]).astype(np.uint8)
+        target = np.asarray(out["target"]).astype(np.uint8)
+
+        recs: List[MapRecord] = []
+        for i, (name, seq, qual) in enumerate(reads):
+            rlen = int(lens[i])
+            ok = bool(found[i])
+            ed_i = int(ed[i]) if ok else -1
+            valid = ok and ed_i >= 0
+            if valid:
+                ops = native.traceback(H[i], cfg.W, q_aln[i], target[i],
+                                       rlen, rlen)
+                cig = cigar_string(ops) if ops else "*"
+                flag = 16 if strand[i] else 0
+                mapq = 255
+            else:
+                cig = "*"
+                flag = 0x4
+                mapq = 0
+            rname = self.mta[int(gi[i])].seq_name if ok else "*"
+            seq_out = revcomp(seq) if (ok and strand[i]) else seq
+            recs.append(MapRecord(
+                qname=name, flag=flag, rname=rname,
+                off=int(off[i]) if ok else 0, mapq=mapq, cigar=cig,
+                seq=seq_out, qual=qual if qual else "*", ed=ed_i,
+                valid=valid))
+        return recs

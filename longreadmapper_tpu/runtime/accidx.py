@@ -1,0 +1,57 @@
+"""Index-build driver — the `accidx` equivalent (/root/reference/asindex.c:129-153).
+
+Pipeline: FASTA -> .mta/.cat (N-replacement, uppercase, fwd+revcomp concat)
+-> suffix array (.sa5, native SA-IS) -> FM-index (.mfi) -> lchash (.lch).
+
+The lchash build runs on the accelerator when one is available (batched
+backward search over all 4^hlen k-mers) and falls back to vectorized numpy.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..formats.catmeta import create_meta, load_cat
+from ..formats.lch import write_lch
+from ..index.device import build_device_index
+from ..index.fmi import FMIndex
+from ..index.lchash import lc_build_device, lc_build_host
+from ..index.sa import sa_build
+from ..utils.config import Params
+from ..utils.log import new_logger
+
+
+def build_index(fasta_path: str, params: Params | None = None,
+                use_device: bool = True, verbose: bool = True) -> None:
+    p = params or Params()
+    log = new_logger(verbose=verbose)
+
+    t0 = log.vlog("create_meta: writing %s.mta / .cat", fasta_path)
+    mta = create_meta(fasta_path, n_seed=p.n_seed)
+    prefix = fasta_path + ".cat"
+    log.vlog("create_meta done in %.2fs (%d sequences)", log.elapse(t0), len(mta))
+
+    t0 = log.vlog("sa_build: suffix array -> %s.sa5", prefix)
+    sa = sa_build(prefix)
+    log.vlog("sa_build done in %.2fs (n=%d)", log.elapse(t0), sa.shape[0])
+
+    t0 = log.vlog("fmi_build: C/BWT/O/CSA tables (o_ratio=%d)", p.o_ratio)
+    fmi = FMIndex.build(prefix, o_ratio=p.o_ratio, csa_ratio=p.csa_ratio, sa=sa)
+    fmi.write(prefix)
+    log.vlog("fmi_build done in %.2fs", log.elapse(t0))
+
+    t0 = log.vlog("lc_build: %d k-mers (hlen=%d)", 1 << (2 * p.hlen), p.hlen)
+    if use_device:
+        try:
+            cat = load_cat(prefix)
+            idx, meta = build_device_index(
+                fmi, np.zeros((1 << (2 * p.hlen), 2), np.uint64), p.hlen, cat, mta)
+            kl = lc_build_device(idx.packed, idx.occ_samp, idx.c4,
+                                 meta.dollar_pos, meta.n, p.hlen)
+        except Exception as e:  # no accelerator / OOM -> host build
+            log.elog("device lc_build failed (%s); falling back to host", e)
+            kl = lc_build_host(fmi, p.hlen)
+    else:
+        kl = lc_build_host(fmi, p.hlen)
+    write_lch(prefix + ".lch", p.hlen, kl)
+    log.vlog("lc_build done in %.2fs", log.elapse(t0))

@@ -1,0 +1,129 @@
+"""End-to-end golden test: full index build + device mapping pipeline vs the
+pure-Python oracle transcription of the reference control flow — the
+golden-SAM harness SURVEY.md §4 calls for (the reference itself only had
+manual cluster runs)."""
+
+import io
+import os
+
+import numpy as np
+import pytest
+
+from longreadmapper_tpu.formats.catmeta import create_meta, load_cat, load_mta
+from longreadmapper_tpu.formats.lch import write_lch
+from longreadmapper_tpu.index.device import build_device_index
+from longreadmapper_tpu.index.fmi import FMIndex
+from longreadmapper_tpu.index.lchash import lc_build_host
+from longreadmapper_tpu.index.sa import sa_build
+from longreadmapper_tpu.models.mapper import TPUMapper
+from longreadmapper_tpu.oracle.refpipe import OracleMapper
+from longreadmapper_tpu.utils.config import Params
+
+from conftest import make_genome, sample_reads, write_fasta, write_fastq
+
+HLEN = 6
+
+
+@pytest.fixture(scope="module")
+def pipeline(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("e2e")
+    rng = np.random.default_rng(21)
+    genome = make_genome(rng, 24000, n_frac=0.01)
+    fa = str(tmp / "ref.fa")
+    write_fasta(fa, [("chrA", genome[:16000]), ("chrB", genome[16000:])])
+
+    params = Params(hlen=HLEN, seed_len=20, thres=300, batch_size=64)
+    create_meta(fa, n_seed=params.n_seed)
+    prefix = fa + ".cat"
+    sa = sa_build(prefix)
+    fmi = FMIndex.build(prefix, o_ratio=params.o_ratio,
+                        csa_ratio=params.csa_ratio, sa=sa)
+    fmi.write(prefix)
+    kl = lc_build_host(fmi, HLEN)
+    write_lch(prefix + ".lch", HLEN, kl)
+
+    cat = load_cat(prefix)
+    mta = load_mta(fa + ".mta")
+    idx, meta = build_device_index(fmi, kl, HLEN, cat, mta)
+    mapper = TPUMapper(idx, meta, mta, params, chunk_b=16)
+    oracle = OracleMapper(fmi, kl, HLEN, cat, mta, params)
+    # reads sampled from the .cat forward halves so truth is known;
+    # genome string for sampling = the N-replaced cat text of chrA fwd
+    chrA = cat[:16000].tobytes().decode()
+    chrB = cat[32000:40000].tobytes().decode()
+    return dict(mapper=mapper, oracle=oracle, chrA=chrA, chrB=chrB,
+                rng=rng, params=params)
+
+
+def _compare(mapper, oracle, reads):
+    recs = mapper.map_chunk([(n, s, "I" * len(s)) for n, s, *_ in reads])
+    for (name, seq, *_), rec in zip(reads, recs):
+        o = oracle.map_read(seq)
+        assert rec.valid == o.valid, (name, rec, o)
+        assert rec.flag == o.flag, (name, rec.flag, o.flag, o)
+        assert rec.ed == o.ed, (name, rec.ed, o.ed)
+        if o.found:
+            assert rec.off == o.off, (name, rec.off, o.off)
+            assert rec.rname == oracle.mta[o.gi].seq_name
+        else:
+            assert rec.rname == "*"
+        assert rec.seq == o.seq_out, name
+        if o.valid:
+            from longreadmapper_tpu.formats.sam import cigar_string
+            assert rec.cigar == cigar_string(o.cigar), (name, rec.cigar, o.cigar)
+    return recs
+
+
+def test_perfect_reads_map_exactly(pipeline):
+    rng = np.random.default_rng(1)
+    reads = sample_reads(rng, pipeline["chrA"], 12, 150, error_rate=0.0)
+    recs = _compare(pipeline["mapper"], pipeline["oracle"], reads)
+    n_valid = sum(r.valid for r in recs)
+    assert n_valid >= 10  # nearly all perfect reads must map
+    for (name, seq, pos, strand), rec in zip(reads, recs):
+        if rec.valid:
+            assert rec.rname == "chrA"
+            assert rec.off == pos, (name, rec.off, pos)
+            assert rec.flag == (16 if strand else 0)
+            assert rec.ed == 0
+            assert rec.cigar == "150M"
+
+
+def test_noisy_reads_match_oracle(pipeline):
+    rng = np.random.default_rng(2)
+    reads = sample_reads(rng, pipeline["chrA"], 12, 200, error_rate=0.03)
+    recs = _compare(pipeline["mapper"], pipeline["oracle"], reads)
+    assert sum(r.valid for r in recs) >= 8
+
+
+def test_second_contig_and_random_reads(pipeline):
+    rng = np.random.default_rng(3)
+    reads = sample_reads(rng, pipeline["chrB"], 6, 150, error_rate=0.02)
+    # plus junk reads that map nowhere
+    junk = [("junk%d" % i,
+             "".join("ACGT"[c] for c in rng.integers(0, 4, 150)), None, 0)
+            for i in range(4)]
+    recs = _compare(pipeline["mapper"], pipeline["oracle"], reads + junk)
+    for (name, *_), rec in zip(reads, recs[:6]):
+        if rec.valid:
+            assert rec.rname == "chrB"
+
+
+def test_variable_length_chunk(pipeline):
+    rng = np.random.default_rng(4)
+    r1 = sample_reads(rng, pipeline["chrA"], 4, 80, error_rate=0.01)
+    r2 = sample_reads(rng, pipeline["chrA"], 4, 230, error_rate=0.01)
+    _compare(pipeline["mapper"], pipeline["oracle"], r1 + r2)
+
+
+def test_sam_output_shape(pipeline):
+    rng = np.random.default_rng(5)
+    reads = sample_reads(rng, pipeline["chrA"], 4, 150, error_rate=0.0)
+    recs = pipeline["mapper"].map_chunk(
+        [(n, s, "I" * len(s)) for n, s, *_ in reads])
+    for rec in recs:
+        line = rec.to_sam()
+        fields = line.rstrip("\n").split("\t")
+        assert len(fields) == 12
+        assert fields[6] == "*" and fields[7] == "0" and fields[8] == "0"
+        assert fields[11].startswith("ED:I:")
