@@ -1,0 +1,135 @@
+"""End-of-round benchmark: end-to-end mapping throughput on one chip.
+
+Prints ONE JSON line:
+  {"metric": "reads_per_s_per_chip", "value": N, "unit": "reads/s",
+   "vs_baseline": N / <numpy-oracle reads/s on this host>}
+
+The reference publishes no numbers (BASELINE.md) and its binaries cannot be
+built (the gact/ submodule is absent upstream), so the recorded baseline is
+the pure-Python/numpy oracle transcription of the reference pipeline running
+on this host's CPU — the same work, same parameters, same results.
+"""
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.expanduser("~/.cache/jax_cc"))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
+import numpy as np
+
+GENOME_MB = 4
+N_READS = 512
+READ_LEN = 1000
+ERR = 0.03
+HLEN = 12
+CHUNK_B = 128
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+    from longreadmapper_tpu.formats.catmeta import create_meta, load_cat, load_mta
+    from longreadmapper_tpu.formats.fastx import encode_seq
+    from longreadmapper_tpu.index.device import build_device_index
+    from longreadmapper_tpu.index.fmi import FMIndex
+    from longreadmapper_tpu.index.lchash import lc_build_device, lc_build_host
+    from longreadmapper_tpu.index.sa import sa_build
+    from longreadmapper_tpu.models.mapper import TPUMapper
+    from longreadmapper_tpu.oracle.refpipe import OracleMapper
+    from longreadmapper_tpu.utils.config import Params
+
+    log("devices:", jax.devices())
+    tmp = tempfile.mkdtemp(prefix="lrm_bench_")
+    rng = np.random.default_rng(2026)
+
+    # --- data
+    n = GENOME_MB * 1_000_000
+    genome = "".join("ACGT"[c] for c in rng.integers(0, 4, n))
+    fa = os.path.join(tmp, "ref.fa")
+    with open(fa, "w") as f:
+        f.write(">chr1\n")
+        step = 1 << 16
+        for i in range(0, n, step):
+            f.write(genome[i:i + step] + "\n")
+    comp = str.maketrans("ACGT", "TGCA")
+    reads = []
+    alpha = "ACGT"
+    for i in range(N_READS):
+        p = int(rng.integers(0, n - READ_LEN))
+        s = genome[p:p + READ_LEN]
+        if rng.random() < 0.5:
+            s = s.translate(comp)[::-1]
+        chars = np.frombuffer(s.encode(), np.uint8).copy()
+        mask = rng.random(READ_LEN) < ERR
+        chars[mask] = np.frombuffer(b"ACGT", np.uint8)[
+            rng.integers(0, 4, int(mask.sum()))]
+        reads.append((f"r{i}", chars.tobytes().decode(), "I" * READ_LEN))
+
+    # --- index build
+    params = Params(hlen=HLEN)
+    t0 = time.time()
+    mta = create_meta(fa, n_seed=0)
+    prefix = fa + ".cat"
+    sa = sa_build(prefix)
+    fmi = FMIndex.build(prefix, sa=sa)
+    log(f"host index build (SA+FMI): {time.time() - t0:.1f}s")
+    t0 = time.time()
+    cat = load_cat(prefix)
+    idx0, meta = build_device_index(
+        fmi, np.zeros(((1 << (2 * HLEN)), 2), np.uint64), HLEN, cat, mta)
+    kl = lc_build_device(idx0.packed, idx0.occ_samp, idx0.c4,
+                         meta.dollar_pos, meta.n, HLEN)
+    log(f"device lchash build (4^{HLEN} k-mers): {time.time() - t0:.1f}s")
+    idx, meta = build_device_index(fmi, kl, HLEN, cat, mta)
+
+    mapper = TPUMapper(idx, meta, load_mta(fa + ".mta"), params,
+                       chunk_b=CHUNK_B)
+
+    # --- warmup (compile)
+    t0 = time.time()
+    recs = mapper.map_chunk(reads[:CHUNK_B])
+    log(f"warmup chunk (compile+run): {time.time() - t0:.1f}s; "
+        f"valid {sum(r.valid for r in recs)}/{CHUNK_B}")
+
+    # --- timed
+    t0 = time.time()
+    total = valid = 0
+    for start in range(0, N_READS, CHUNK_B):
+        chunk = reads[start:start + CHUNK_B]
+        recs = mapper.map_chunk(chunk)
+        valid += sum(r.valid for r in recs)
+        total += len(chunk)
+    dt = time.time() - t0
+    rps = total / dt
+    cells = total * READ_LEN * (2 * mapper._steps[1024][0].W + 1)
+    log(f"mapped {total} reads in {dt:.2f}s -> {rps:.1f} reads/s "
+        f"(valid {valid}/{total}); DP ~{cells / dt / 1e9:.2f} Gcells/s")
+
+    # --- oracle baseline (few reads, extrapolate)
+    oracle = OracleMapper(fmi, kl, HLEN, cat, load_mta(fa + ".mta"), params)
+    t0 = time.time()
+    n_o = 3
+    for name, s, _ in reads[:n_o]:
+        oracle.map_read(s)
+    o_rps = n_o / (time.time() - t0)
+    log(f"oracle baseline: {o_rps:.2f} reads/s")
+
+    print(json.dumps({
+        "metric": "reads_per_s_per_chip",
+        "value": round(rps, 2),
+        "unit": "reads/s",
+        "vs_baseline": round(rps / o_rps, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -170,13 +170,17 @@ def _seed_vote(cfg: MapperConfig, idx: DeviceIndex, codes, lens):
         done = done | newly
         return it + 1, done, best, acc_it, okeys, ovalid
 
+    # initial carry derived from `lens` so every component carries the same
+    # device-varying type under shard_map (scan/while carries must not mix
+    # replicated-constant and sharded values)
+    zb = (lens * 0).astype(jnp.int32)                 # (B,) varying zeros
     state0 = (
         jnp.int32(0),
-        jnp.zeros(B, bool),
-        jnp.zeros(B, jnp.int64),
-        jnp.full(B, -1, jnp.int32),
-        jnp.zeros((B, P), jnp.int64),
-        jnp.zeros((B, P), bool),
+        zb > 0,                                        # done: all False
+        zb.astype(jnp.int64),                          # best
+        zb - 1,                                        # accepted-at phase
+        jnp.broadcast_to(zb.astype(jnp.int64)[:, None], (B, P)),
+        jnp.broadcast_to((zb > 0)[:, None], (B, P)),
     )
     _, done, best, acc_it, okeys, ovalid = lax.while_loop(cond, body, state0)
 

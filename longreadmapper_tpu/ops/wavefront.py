@@ -62,7 +62,9 @@ def banded_nw_scores(q, t, W: int, band: int):
     d_idx = jnp.arange(band, dtype=dt)
     j0 = d_idx - W
     row0 = jnp.where((j0 >= 0) & (j0 <= L), jnp.abs(j0), INF).astype(dt)
-    row0 = jnp.broadcast_to(row0[None, :], (B, band))
+    # add varying zeros from q so the scan carry has a consistent
+    # device-varying type under shard_map
+    row0 = row0[None, :] + q[:, :1].astype(dt) * 0
 
     # target padded so tw[d] = t[i + d - W - 1] = tpad[i + d]
     tpad = jnp.pad(t.astype(jnp.int8), ((0, 0), (W + 1, band)),

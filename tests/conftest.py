@@ -13,6 +13,12 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+import jax
+
+# the axon sitecustomize force-selects the TPU platform even when
+# JAX_PLATFORMS=cpu is in the env; override in-process before first use
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np
 import pytest
 
