@@ -40,6 +40,7 @@ from jax import lax
 
 from ..index.device import DeviceIndex, IndexMeta
 from ..ops.rank import backward_step
+from ..ops.traceback import device_traceback
 from ..ops.vote import top2_small_histo, top2_votes
 from ..ops.wavefront import banded_nw_scores
 from ..utils.config import Params
@@ -250,7 +251,11 @@ def make_map_step(cfg: MapperConfig):
         limit = ((cfg.error_rate * lens.astype(jnp.float64)) * 2).astype(jnp.int32)
         ed = jnp.where(ed_raw <= limit, ed_raw, -1)
 
+        # CIGAR walk stays on-device: only the (B, 2L) op string leaves HBM
+        # (H is tens of MB per chunk and the host link is slow)
+        ops = device_traceback(H, q, t, lens, W)
+
         return dict(best=best, found=found, gi=gi, strand=strand, off=off,
-                    ed=ed, limit=limit, H=H, q_aligned=q, target=t)
+                    ed=ed, limit=limit, ops=ops)
 
     return step

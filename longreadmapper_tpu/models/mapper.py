@@ -22,7 +22,6 @@ from typing import List, Optional, Sequence, Tuple
 import jax.numpy as jnp
 import numpy as np
 
-from .. import native
 from ..formats.catmeta import MtaEntry
 from ..formats.fastx import encode_seq
 from ..formats.sam import cigar_string, sam_record
@@ -48,6 +47,20 @@ class MapRecord:
     def to_sam(self) -> str:
         return sam_record(self.qname, self.flag, self.rname, self.off,
                           self.mapq, self.cigar, self.seq, self.qual, self.ed)
+
+
+_OP_CHARS = np.frombuffer(b"MID?", dtype=np.uint8)
+
+
+def _rle_ops(ops_row: np.ndarray) -> List[Tuple[int, str]]:
+    """Reverse + run-length encode a device traceback op row (pad=3)."""
+    ops = ops_row[ops_row != 3][::-1]
+    if ops.size == 0:
+        return []
+    change = np.nonzero(np.diff(ops))[0] + 1
+    starts = np.concatenate([[0], change])
+    ends = np.concatenate([change, [ops.size]])
+    return [(int(e - s), chr(_OP_CHARS[ops[s]])) for s, e in zip(starts, ends)]
 
 
 def _bucket_len(n: int, minimum: int = 128) -> int:
@@ -102,19 +115,15 @@ class TPUMapper:
         strand = np.asarray(out["strand"])
         off = np.asarray(out["off"])
         ed = np.asarray(out["ed"])
-        H = np.asarray(out["H"])
-        q_aln = np.asarray(out["q_aligned"]).astype(np.uint8)
-        target = np.asarray(out["target"]).astype(np.uint8)
+        ops_arr = np.asarray(out["ops"])
 
         recs: List[MapRecord] = []
         for i, (name, seq, qual) in enumerate(reads):
-            rlen = int(lens[i])
             ok = bool(found[i])
             ed_i = int(ed[i]) if ok else -1
             valid = ok and ed_i >= 0
             if valid:
-                ops = native.traceback(H[i], cfg.W, q_aln[i], target[i],
-                                       rlen, rlen)
+                ops = _rle_ops(ops_arr[i])
                 cig = cigar_string(ops) if ops else "*"
                 flag = 16 if strand[i] else 0
                 mapq = 255

@@ -27,18 +27,7 @@ from jax import lax
 _ORD_BITS = 22           # max 4M votes per read-phase
 _ORD_MASK = (1 << _ORD_BITS) - 1
 _BUCKET_OFF = 1 << 30    # shifts signed buckets non-negative for packing
-
-
-def _seg_min_scan(head, x, axis):
-    """Segmented inclusive min-scan: resets at positions where head=True."""
-
-    def combine(a, b):
-        fa, va = a
-        fb, vb = b
-        return fa | fb, jnp.where(fb, vb, jnp.minimum(va, vb))
-
-    _, out = lax.associative_scan(combine, (head, x), axis=axis)
-    return out
+_SENT = 1 << 40          # invalid-lane bucket sentinel (sorts last)
 
 
 @jax.jit
@@ -47,51 +36,60 @@ def top2_votes(keys, valid):
 
     Insertion order = flattened position v (callers lay votes out in the
     reference's iteration order: seed-major, SA-hit-minor).
+
+    Two sorts, both grouped by bucket:
+      sort1 by (bucket, position) — the head of each run directly yields the
+        run's first-insertion position; run lengths come from head indices.
+      sort2 by (bucket, key)      — the head of each run yields the run's
+        min key.  Runs coincide because both sorts group identically.
+    Everything else is cummax/cummin + elementwise — no generic scans.
     """
     B, V = keys.shape
     assert V <= _ORD_MASK
     pos = jnp.arange(V, dtype=jnp.int64)[None, :]
 
     bucket = (keys >> 4).astype(jnp.int64)
-    bkt_packed = jnp.where(valid, bucket + _BUCKET_OFF,
-                           jnp.int64(1) << 40)  # invalid sentinel, sorts last
-    composite = (bkt_packed << _ORD_BITS) | pos
-    comp_s = jnp.sort(composite, axis=1)
-    bkt_s = comp_s >> _ORD_BITS
-    orig_s = (comp_s & _ORD_MASK).astype(jnp.int32)
-    keys_s = jnp.take_along_axis(keys, orig_s.astype(jnp.int64), axis=1)
-    valid_s = bkt_s != (jnp.int64(1) << 40)
+    bkt_packed = jnp.where(valid, bucket + _BUCKET_OFF, jnp.int64(_SENT))
+    comp1 = jnp.sort((bkt_packed << _ORD_BITS) | pos, axis=1)
+    # NOTE: key packed in 32 bits — holds for text length < 2^31; the
+    # int64-genome path (whole human) needs a 3-key variant (future work).
+    # comp2 uses a 31-bit sentinel so the <<32 shift cannot overflow int64.
+    bkt_packed2 = jnp.where(valid, bucket + _BUCKET_OFF,
+                            jnp.int64((1 << 31) - 1))
+    key_u = (keys.astype(jnp.int64) + (1 << 31)) & 0xFFFFFFFF
+    comp2 = jnp.sort((bkt_packed2 << 32) | key_u, axis=1)
 
-    # run structure over sorted buckets
+    bkt_s = comp1 >> _ORD_BITS
+    valid_s = bkt_s != _SENT
     first_col = jnp.ones((B, 1), dtype=bool)
     head = jnp.concatenate([first_col, bkt_s[:, 1:] != bkt_s[:, :-1]], axis=1)
+
     idx = jnp.arange(V, dtype=jnp.int32)[None, :]
-    run_start = lax.cummax(jnp.where(head, idx, -1), axis=1)
-    rank = idx - run_start + 1  # in-run vote count so far
-    is_last = jnp.concatenate([head[:, 1:], first_col], axis=1)
+    # next head strictly after v: reverse-cummin of head positions, shifted
+    hp = jnp.where(head, idx, V)
+    nh = jnp.flip(lax.cummin(jnp.flip(hp, axis=1), axis=1), axis=1)
+    nh_after = jnp.concatenate([nh[:, 1:], jnp.full((B, 1), V, jnp.int32)],
+                               axis=1)
+    count = nh_after - idx                       # run length, valid at heads
+    first_occ = (comp1 & _ORD_MASK).astype(jnp.int32)   # = own pos at heads
+    min_key = (comp2 & 0xFFFFFFFF) - (1 << 31)          # run min at heads
 
-    min_key = _seg_min_scan(head, keys_s.astype(jnp.int64), axis=1)
-    # first insertion position of the run = orig index at the run head
-    first_occ = _seg_min_scan(head, orig_s.astype(jnp.int64), axis=1)
-
-    run_score = jnp.where(
-        is_last & valid_s,
-        rank.astype(jnp.int64) * V + (V - 1 - first_occ),
-        jnp.int64(-1),
-    )
-    top1 = jnp.argmax(run_score, axis=1)
-    t1 = jnp.take_along_axis(run_score, top1[:, None], axis=1)[:, 0]
+    score = jnp.where(head & valid_s,
+                      count.astype(jnp.int64) * V + (V - 1 - first_occ),
+                      jnp.int64(-1))
+    top1 = jnp.argmax(score, axis=1)
+    t1 = jnp.take_along_axis(score, top1[:, None], axis=1)[:, 0]
     v1 = jnp.where(t1 >= 0,
-                   jnp.take_along_axis(rank, top1[:, None], axis=1)[:, 0], 0)
+                   jnp.take_along_axis(count, top1[:, None], axis=1)[:, 0], 0)
     key1 = jnp.where(
         t1 >= 0,
         jnp.take_along_axis(min_key, top1[:, None], axis=1)[:, 0], 0)
 
-    score2 = run_score.at[jnp.arange(B), top1].set(-1)
+    score2 = score.at[jnp.arange(B), top1].set(-1)
     top2 = jnp.argmax(score2, axis=1)
     t2 = jnp.take_along_axis(score2, top2[:, None], axis=1)[:, 0]
     v2 = jnp.where(t2 >= 0,
-                   jnp.take_along_axis(rank, top2[:, None], axis=1)[:, 0], 0)
+                   jnp.take_along_axis(count, top2[:, None], axis=1)[:, 0], 0)
 
     return v1.astype(jnp.int32), key1, v2.astype(jnp.int32)
 
