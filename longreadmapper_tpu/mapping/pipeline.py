@@ -76,6 +76,15 @@ class MapperConfig:
             return 1
         return max(1, -(-(self.L - self.seed_len) // self.step))
 
+    vote_budget: int = 1024   # max votes kept per read-phase (0 = exact full)
+
+    @property
+    def vote_slots(self) -> int:
+        full = self.max_seeds * self.hit_cap
+        if self.vote_budget <= 0:
+            return full
+        return min(full, -(-self.vote_budget // 128) * 128)
+
     @property
     def W(self) -> int:
         # static band half-width >= every read's limit (len <= L)
@@ -91,7 +100,7 @@ class MapperConfig:
             B=B, L=L, seed_len=p.seed_len, gap_len=p.gap_len, thres=p.thres,
             hit_cap=p.effective_hit_cap(), hlen=meta.hlen, n=meta.n,
             dollar_pos=meta.dollar_pos, accept_score=p.accept_score,
-            error_rate=p.error_rate)
+            error_rate=p.error_rate, vote_budget=p.vote_budget)
 
 
 def _seed_phase(cfg: MapperConfig, idx: DeviceIndex, codes, lens, it):
@@ -131,18 +140,38 @@ def _seed_phase(cfg: MapperConfig, idx: DeviceIndex, codes, lens, it):
     hits = jnp.where(present & (k <= l), (l - k + 1).astype(jnp.int32), 0)
     informative = (hits > 0) & (hits < cfg.thres)                  # (B,S)
 
-    # SA-interval expansion: cap thres-1 slots per seed (alnmain.c:362-367)
-    cap = cfg.hit_cap
-    t = jnp.arange(cap, dtype=jnp.int32)
-    pos = k[..., None].astype(pos_dtype) + t                       # (B,S,cap)
-    vvalid = informative[..., None] & (t[None, None, :] < hits[..., None])
-    sa_val = idx.sa[jnp.clip(pos, 0, cfg.n - 1)]
-    keys = (sa_val.astype(jnp.int64)
-            - j[None, :, None].astype(jnp.int64))                  # diagonal
-    V = S * cap
-    v1, key1, v2 = top2_votes(keys.reshape(B, V), vvalid.reshape(B, V))
+    # SA-interval expansion, COMPACTED (alnmain.c:362-367): instead of a
+    # dense (S, thres-1) slot grid (mostly empty — a unique 20-mer has 1
+    # hit), lay the actual votes out contiguously: slot c belongs to seed
+    # s = searchsorted(cumsum(hits), c) at in-seed offset c - cum[s-1].
+    # Order is (seed-major, hit-minor) — exactly the reference insertion
+    # order.  Reads whose total votes exceed the budget drop the tail and
+    # raise the per-read `overflow` flag (callers surface it; the budget
+    # default covers everything a random genome produces).
+    inf_hits = jnp.where(informative, hits, 0)
+    cum = jnp.cumsum(inf_hits, axis=1)                             # (B,S)
+    total = cum[:, -1]
+    starts = cum - inf_hits                                        # (B,S)
+    C = cfg.vote_slots
+    slots = jnp.arange(C, dtype=jnp.int32)
+    # seed index per slot: scatter each contributing seed's id at its start
+    # offset, then cummax — s_idx[c] = last seed whose run begins at or
+    # before c (zero-hit seeds scatter out of range and are dropped)
+    sid = jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32)[None, :], (B, S))
+    scat_pos = jnp.where(informative & (starts < C), starts, C)
+    marks = jnp.full((B, C), -1, jnp.int32)
+    marks = marks.at[jnp.arange(B)[:, None], scat_pos].max(sid, mode="drop")
+    s_idx = lax.cummax(marks, axis=1)                              # (B,C)
+    s_safe = jnp.clip(s_idx, 0, S - 1)
+    t_off = slots[None, :] - jnp.take_along_axis(starts, s_safe, axis=1)
+    vvalid = (s_idx >= 0) & (slots[None, :] < jnp.minimum(total, C)[:, None])
+    k_sel = jnp.take_along_axis(k, s_safe, axis=1).astype(pos_dtype)
+    j_sel = j[s_safe]
+    pos = jnp.clip(k_sel + t_off, 0, cfg.n - 1)
+    keys = idx.sa[pos].astype(jnp.int64) - j_sel.astype(jnp.int64)
+    v1, key1, v2 = top2_votes(keys, vvalid)
     num_seeds = (lens.astype(jnp.int32) // cfg.step)
-    return v1, key1, v2, num_seeds
+    return v1, key1, v2, num_seeds, total > C
 
 
 def _seed_vote(cfg: MapperConfig, idx: DeviceIndex, codes, lens):
@@ -154,8 +183,10 @@ def _seed_vote(cfg: MapperConfig, idx: DeviceIndex, codes, lens):
         return (it < P) & jnp.any(~done)
 
     def body(state):
-        it, done, best, acc_it, okeys, ovalid = state
-        v1, key1, v2, num_seeds = _seed_phase(cfg, idx, codes, lens, it)
+        it, done, best, acc_it, okeys, ovalid, oflow = state
+        v1, key1, v2, num_seeds, phase_oflow = _seed_phase(cfg, idx, codes,
+                                                           lens, it)
+        oflow = oflow | (~done & phase_oflow)
         has_seeds = num_seeds > 0
         score = (v1 + v2).astype(jnp.float64) / jnp.maximum(num_seeds, 1)
         accept = has_seeds & (score > cfg.accept_score)
@@ -169,7 +200,7 @@ def _seed_vote(cfg: MapperConfig, idx: DeviceIndex, codes, lens):
         okeys = jnp.where(onehot & outer_add[:, None], key1[:, None], okeys)
         ovalid = ovalid | (onehot & outer_add[:, None])
         done = done | newly
-        return it + 1, done, best, acc_it, okeys, ovalid
+        return it + 1, done, best, acc_it, okeys, ovalid, oflow
 
     # initial carry derived from `lens` so every component carries the same
     # device-varying type under shard_map (scan/while carries must not mix
@@ -182,14 +213,16 @@ def _seed_vote(cfg: MapperConfig, idx: DeviceIndex, codes, lens):
         zb - 1,                                        # accepted-at phase
         jnp.broadcast_to(zb.astype(jnp.int64)[:, None], (B, P)),
         jnp.broadcast_to((zb > 0)[:, None], (B, P)),
+        zb > 0,                                        # vote-budget overflow
     )
-    _, done, best, acc_it, okeys, ovalid = lax.while_loop(cond, body, state0)
+    _, done, best, acc_it, okeys, ovalid, oflow = lax.while_loop(
+        cond, body, state0)
 
     # post-loop overwrite (alnmain.c:400-403): reads that never accepted OR
     # accepted exactly on the last phase take the outer histogram's top-1
     _, okey1, _ = top2_small_histo(okeys, ovalid)
     need_outer = ~done | (acc_it == P - 1)
-    return jnp.where(need_outer, okey1, best)
+    return jnp.where(need_outer, okey1, best), oflow
 
 
 def _seq_lookup(idx: DeviceIndex, loc, qlen):
@@ -225,7 +258,7 @@ def make_map_step(cfg: MapperConfig):
     @jax.jit
     def step(idx: DeviceIndex, codes, lens):
         B, L, W, band = cfg.B, cfg.L, cfg.W, cfg.band
-        best = _seed_vote(cfg, idx, codes, lens)
+        best, overflow = _seed_vote(cfg, idx, codes, lens)
 
         # PART 2: locate + align (alnmain.c:420-451)
         found, gi, strand, off, loc_fwd = _seq_lookup(idx, best, lens)
@@ -256,6 +289,6 @@ def make_map_step(cfg: MapperConfig):
         ops = device_traceback(H, q, t, lens, W)
 
         return dict(best=best, found=found, gi=gi, strand=strand, off=off,
-                    ed=ed, limit=limit, ops=ops)
+                    ed=ed, limit=limit, ops=ops, overflow=overflow)
 
     return step

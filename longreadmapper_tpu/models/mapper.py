@@ -84,6 +84,9 @@ class TPUMapper:
         self.params = params
         self.B = chunk_b or params.chunk_size
         self._steps = {}
+        # reads whose per-phase votes exceeded the compaction budget (tail
+        # votes dropped — raise Params.vote_budget for exact handling)
+        self.overflow_reads = 0
 
     def _step_for(self, L: int):
         if L not in self._steps:
@@ -107,6 +110,7 @@ class TPUMapper:
             lens[i] = len(seq)
 
         out = step(self.idx, jnp.asarray(codes), jnp.asarray(lens))
+        self.overflow_reads += int(np.asarray(out["overflow"])[:n_real].sum())
         return self._postprocess(cfg, reads, lens, out)
 
     def _postprocess(self, cfg: MapperConfig, reads, lens, out) -> List[MapRecord]:

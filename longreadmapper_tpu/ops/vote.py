@@ -37,32 +37,42 @@ def top2_votes(keys, valid):
     Insertion order = flattened position v (callers lay votes out in the
     reference's iteration order: seed-major, SA-hit-minor).
 
-    Two sorts, both grouped by bucket:
-      sort1 by (bucket, position) — the head of each run directly yields the
-        run's first-insertion position; run lengths come from head indices.
-      sort2 by (bucket, key)      — the head of each run yields the run's
-        min key.  Runs coincide because both sorts group identically.
-    Everything else is cummax/cummin + elementwise — no generic scans.
+    ONE stable int32 sort by bucket with a packed (pos, key&15) payload:
+      - stability => the head of each bucket run carries the run's
+        first-insertion position (the histo tie-breaker);
+      - all keys in a bucket share key>>4, so the run's MIN key is
+        bucket*16 + min(key&15) — a 4-bit segmented min, computed by
+        pointer-doubling (sound on sorted data: bucket equality at distance
+        s implies the whole stretch is one run);
+      - run lengths come from head indices via a reverse cummin.
     """
     B, V = keys.shape
     assert V <= _ORD_MASK
-    pos = jnp.arange(V, dtype=jnp.int64)[None, :]
+    pos = jnp.arange(V, dtype=jnp.int32)[None, :]
 
-    bucket = (keys >> 4).astype(jnp.int64)
-    bkt_packed = jnp.where(valid, bucket + _BUCKET_OFF, jnp.int64(_SENT))
-    comp1 = jnp.sort((bkt_packed << _ORD_BITS) | pos, axis=1)
-    # NOTE: key packed in 32 bits — holds for text length < 2^31; the
-    # int64-genome path (whole human) needs a 3-key variant (future work).
-    # comp2 uses a 31-bit sentinel so the <<32 shift cannot overflow int64.
-    bkt_packed2 = jnp.where(valid, bucket + _BUCKET_OFF,
-                            jnp.int64((1 << 31) - 1))
-    key_u = (keys.astype(jnp.int64) + (1 << 31)) & 0xFFFFFFFF
-    comp2 = jnp.sort((bkt_packed2 << 32) | key_u, axis=1)
-
-    bkt_s = comp1 >> _ORD_BITS
-    valid_s = bkt_s != _SENT
+    # bucket in int32: key>>4 + 128 covers seed offsets up to 2048 bases
+    # negative and text lengths to 2^35
+    bucket = ((keys >> 4) + 128).astype(jnp.int32)
+    bucket = jnp.where(valid, bucket, jnp.int32(0x7FFFFFFF))
+    payload = (pos << 4) | (keys & 15).astype(jnp.int32)
+    b_s, p_s = lax.sort((bucket, jnp.broadcast_to(payload, (B, V))),
+                        dimension=1, is_stable=True, num_keys=1)
+    pos_s = p_s >> 4
+    low4_s = p_s & 15
+    valid_s = b_s != jnp.int32(0x7FFFFFFF)
     first_col = jnp.ones((B, 1), dtype=bool)
-    head = jnp.concatenate([first_col, bkt_s[:, 1:] != bkt_s[:, :-1]], axis=1)
+    head = jnp.concatenate([first_col, b_s[:, 1:] != b_s[:, :-1]], axis=1)
+
+    # segmented suffix-min of low4 within runs (doubling over sorted runs)
+    x = low4_s
+    s = 1
+    while s < V:
+        xs = jnp.concatenate([x[:, s:], jnp.full((B, s), 15, x.dtype)], axis=1)
+        bs = jnp.concatenate(
+            [b_s[:, s:], jnp.full((B, s), -1, b_s.dtype)], axis=1)
+        x = jnp.minimum(x, jnp.where(bs == b_s, xs, 15))
+        s *= 2
+    min_key = (b_s.astype(jnp.int64) - 128) * 16 + x   # valid at run heads
 
     idx = jnp.arange(V, dtype=jnp.int32)[None, :]
     # next head strictly after v: reverse-cummin of head positions, shifted
@@ -71,8 +81,7 @@ def top2_votes(keys, valid):
     nh_after = jnp.concatenate([nh[:, 1:], jnp.full((B, 1), V, jnp.int32)],
                                axis=1)
     count = nh_after - idx                       # run length, valid at heads
-    first_occ = (comp1 & _ORD_MASK).astype(jnp.int32)   # = own pos at heads
-    min_key = (comp2 & 0xFFFFFFFF) - (1 << 31)          # run min at heads
+    first_occ = pos_s                            # = min pos, at run heads
 
     score = jnp.where(head & valid_s,
                       count.astype(jnp.int64) * V + (V - 1 - first_occ),

@@ -77,6 +77,6 @@ def make_sharded_map_step(cfg: MapperConfig, mesh: Mesh):
         in_specs=(P(), P("data"), P("data")),
         out_specs=({k: P("data") for k in
                     ("best", "found", "gi", "strand", "off", "ed", "limit",
-                     "ops")}, P()),
+                     "ops", "overflow")}, P()),
     )
     return jax.jit(sharded)
