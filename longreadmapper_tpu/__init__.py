@@ -13,14 +13,12 @@ Reference behavior contracts are cited per-module as /root/reference/<file>:<lin
 
 import os
 
-# The index and voting paths need 64-bit integers in a few places (vote score
-# packing, genome-scale positions).  Everything hot is explicitly int32; x64
-# only widens Python-scalar defaults, which we never rely on.
-os.environ.setdefault("JAX_ENABLE_X64", "True")
-
-import jax  # noqa: E402
-
-jax.config.update("jax_enable_x64", True)
+# The compute path is int32-clean by design: positions, votes, scores and DP
+# cells all fit 32 bits for texts < 2^31 bytes (every config short of the
+# whole human genome).  Global x64 is NOT enabled — it breaks Mosaic/Pallas
+# kernel lowering in current JAX — but the framework respects a user-set
+# JAX_ENABLE_X64 for the big-genome path (which then uses the XLA wavefront
+# instead of the Pallas kernel).
 
 __version__ = "0.1.0"
 

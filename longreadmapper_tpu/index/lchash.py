@@ -75,6 +75,6 @@ def lc_build_device(packed, occ_samp, c4, dollar_pos: int, n: int, hlen: int,
 
     out = np.empty((upper, 2), dtype=np.uint64)
     for start in range(0, upper, chunk):
-        ids = jnp.arange(start, start + chunk, dtype=jnp.int64)
+        ids = jnp.arange(start, start + chunk, dtype=jnp.int32)
         out[start:start + chunk] = np.asarray(build_chunk(ids)).astype(np.uint64)
     return out

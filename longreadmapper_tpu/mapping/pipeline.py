@@ -42,7 +42,7 @@ from ..index.device import DeviceIndex, IndexMeta
 from ..ops.rank import backward_step
 from ..ops.traceback import device_traceback
 from ..ops.vote import top2_small_histo, top2_votes
-from ..ops.wavefront import banded_nw_scores
+from ..ops.wavefront import banded_nw_dirs
 from ..utils.config import Params
 
 
@@ -77,6 +77,13 @@ class MapperConfig:
         return max(1, -(-(self.L - self.seed_len) // self.step))
 
     vote_budget: int = 1024   # max votes kept per read-phase (0 = exact full)
+
+    @property
+    def accept_frac(self):
+        """accept_score as an exact small rational (num, den)."""
+        from fractions import Fraction
+        f = Fraction(self.accept_score).limit_denominator(10000)
+        return f.numerator, f.denominator
 
     @property
     def vote_slots(self) -> int:
@@ -119,8 +126,8 @@ def _seed_phase(cfg: MapperConfig, idx: DeviceIndex, codes, lens, it):
 
     # lc_aln (lchash.c:89-104): 2-bit hash of the LAST hlen bases
     tail = seeds[:, :, left:]                                      # (B,S,hlen)
-    weights = (2 * (hlen - 1 - np.arange(hlen))).astype(np.int64)
-    num = jnp.sum(tail.astype(jnp.int64) << jnp.asarray(weights), axis=-1)
+    weights = (2 * (hlen - 1 - np.arange(hlen))).astype(np.int32)
+    num = jnp.sum(tail << jnp.asarray(weights), axis=-1)  # hlen<=15: int32
     hash_ok = jnp.all(tail < 4, axis=-1)
     num = jnp.clip(num, 0, (1 << (2 * hlen)) - 1)
     kl = idx.lch[num]                                              # (B,S,2)
@@ -154,21 +161,19 @@ def _seed_phase(cfg: MapperConfig, idx: DeviceIndex, codes, lens, it):
     starts = cum - inf_hits                                        # (B,S)
     C = cfg.vote_slots
     slots = jnp.arange(C, dtype=jnp.int32)
-    # seed index per slot: scatter each contributing seed's id at its start
-    # offset, then cummax — s_idx[c] = last seed whose run begins at or
-    # before c (zero-hit seeds scatter out of range and are dropped)
-    sid = jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32)[None, :], (B, S))
-    scat_pos = jnp.where(informative & (starts < C), starts, C)
-    marks = jnp.full((B, C), -1, jnp.int32)
-    marks = marks.at[jnp.arange(B)[:, None], scat_pos].max(sid, mode="drop")
-    s_idx = lax.cummax(marks, axis=1)                              # (B,C)
+    # seed index per slot: the contributing seed with the largest start
+    # offset <= c (dense compare-reduce — TPU scatters serialize, a
+    # (B,S,C) bool reduce is bandwidth-trivial)
+    sid = jnp.arange(S, dtype=jnp.int32)
+    owns = informative[:, :, None] & (starts[:, :, None] <= slots[None, None, :])
+    s_idx = jnp.max(jnp.where(owns, sid[None, :, None], -1), axis=1)  # (B,C)
     s_safe = jnp.clip(s_idx, 0, S - 1)
     t_off = slots[None, :] - jnp.take_along_axis(starts, s_safe, axis=1)
     vvalid = (s_idx >= 0) & (slots[None, :] < jnp.minimum(total, C)[:, None])
     k_sel = jnp.take_along_axis(k, s_safe, axis=1).astype(pos_dtype)
     j_sel = j[s_safe]
     pos = jnp.clip(k_sel + t_off, 0, cfg.n - 1)
-    keys = idx.sa[pos].astype(jnp.int64) - j_sel.astype(jnp.int64)
+    keys = idx.sa[pos].astype(jnp.int32) - j_sel.astype(jnp.int32)
     v1, key1, v2 = top2_votes(keys, vvalid)
     num_seeds = (lens.astype(jnp.int32) // cfg.step)
     return v1, key1, v2, num_seeds, total > C
@@ -188,8 +193,12 @@ def _seed_vote(cfg: MapperConfig, idx: DeviceIndex, codes, lens):
                                                            lens, it)
         oflow = oflow | (~done & phase_oflow)
         has_seeds = num_seeds > 0
-        score = (v1 + v2).astype(jnp.float64) / jnp.maximum(num_seeds, 1)
-        accept = has_seeds & (score > cfg.accept_score)
+        # `(double)v / num_seeds > 0.6` (alnmain.c:375-378) as an exact
+        # rational compare (f64 is emulated on TPU): equivalent to the C
+        # double compare for all feasible v, num_seeds (the gap between
+        # the double literal and the rational is ~2e-17)
+        num, den = cfg.accept_frac
+        accept = has_seeds & ((v1 + v2) * den > num * num_seeds)
         newly = ~done & accept
         best = jnp.where(newly, key1, best)
         acc_it = jnp.where(newly, it, acc_it)
@@ -209,9 +218,9 @@ def _seed_vote(cfg: MapperConfig, idx: DeviceIndex, codes, lens):
     state0 = (
         jnp.int32(0),
         zb > 0,                                        # done: all False
-        zb.astype(jnp.int64),                          # best
+        zb,                                            # best
         zb - 1,                                        # accepted-at phase
-        jnp.broadcast_to(zb.astype(jnp.int64)[:, None], (B, P)),
+        jnp.broadcast_to(zb[:, None], (B, P)),
         jnp.broadcast_to((zb > 0)[:, None], (B, P)),
         zb > 0,                                        # vote-budget overflow
     )
@@ -228,22 +237,23 @@ def _seed_vote(cfg: MapperConfig, idx: DeviceIndex, codes, lens):
 def _seq_lookup(idx: DeviceIndex, loc, qlen):
     """Vectorized seq_lookup (alnmain.c:151-176): first contig whose forward
     or reverse half fully contains [loc, loc+qlen)."""
-    start = idx.mta_start.astype(jnp.int64)[None, :]   # (1,M)
-    slen = idx.mta_len.astype(jnp.int64)[None, :]
+    pdt = idx.mta_start.dtype
+    start = idx.mta_start[None, :]                     # (1,M)
+    slen = idx.mta_len[None, :]
     end = start + 2 * slen
-    loc_ = loc[:, None]
-    q_ = qlen[:, None].astype(jnp.int64)
+    loc_ = loc.astype(pdt)[:, None]
+    q_ = qlen[:, None].astype(pdt)
     fwd = (loc_ >= start) & (loc_ + q_ <= start + slen)
     rev = (loc_ >= start + slen) & (loc_ + q_ <= end)
     hit = fwd | rev
     found = jnp.any(hit, axis=1)
     gi = jnp.argmax(hit, axis=1)
-    g_start = jnp.take(idx.mta_start.astype(jnp.int64), gi)
-    g_len = jnp.take(idx.mta_len.astype(jnp.int64), gi)
+    g_start = jnp.take(idx.mta_start, gi)
+    g_len = jnp.take(idx.mta_len, gi)
     g_end = g_start + 2 * g_len
     strand = jnp.take_along_axis(rev, gi[:, None], axis=1)[:, 0] & found
-    off = jnp.where(strand, g_end - loc - qlen.astype(jnp.int64),
-                    loc - g_start)
+    off = jnp.where(strand, g_end - loc.astype(pdt) - qlen.astype(pdt),
+                    loc.astype(pdt) - g_start)
     loc_fwd = jnp.where(strand, off + g_start, loc)
     return found, gi.astype(jnp.int32), strand, off, loc_fwd
 
@@ -251,12 +261,15 @@ def _seq_lookup(idx: DeviceIndex, loc, qlen):
 def make_map_step(cfg: MapperConfig):
     """Build the jitted device mapping step.
 
-    step(idx, codes (B,L) int8, lens (B,) int32) ->
-      dict(best, found, gi, strand, off, ed, limit, H, q_aligned)
+    step(idx, codes (B,L) int8, lens (B,) int32, limits (B,) int32) ->
+      dict(best, found, gi, strand, off, ed, limit, ops, overflow)
+
+    `limits` = (int)(ERROR_RATE * len * 2) computed HOST-side in float64
+    (alnmain.c:428 C double semantics, exactly).
     """
 
     @jax.jit
-    def step(idx: DeviceIndex, codes, lens):
+    def step(idx: DeviceIndex, codes, lens, limits):
         B, L, W, band = cfg.B, cfg.L, cfg.W, cfg.band
         best, overflow = _seed_vote(cfg, idx, codes, lens)
 
@@ -274,19 +287,19 @@ def make_map_step(cfg: MapperConfig):
         q = jnp.where(strand[:, None], q_rc, codes)
 
         # target window gather; '$'/padding -> 5 so it never matches
-        tpos = jnp.clip(safe_loc[:, None] + i_idx.astype(jnp.int64), 0, cfg.n - 1)
+        tpos = jnp.clip(safe_loc[:, None] + i_idx.astype(safe_loc.dtype),
+                        0, cfg.n - 1)
         t = idx.text[tpos]
         t = jnp.where(t >= 4, jnp.int8(5), t)
 
-        H = banded_nw_scores(q, t, W, band)
-        ed_raw = H[jnp.arange(B), lens.astype(jnp.int64), W].astype(jnp.int32)
-        # limit = (int)(ERROR_RATE * len * 2), C double math (alnmain.c:428)
-        limit = ((cfg.error_rate * lens.astype(jnp.float64)) * 2).astype(jnp.int32)
+        dirs, wcol = banded_nw_dirs(q, t, W, band)
+        ed_raw = wcol[lens, jnp.arange(B)].astype(jnp.int32)
+        limit = limits.astype(jnp.int32)
         ed = jnp.where(ed_raw <= limit, ed_raw, -1)
 
-        # CIGAR walk stays on-device: only the (B, 2L) op string leaves HBM
-        # (H is tens of MB per chunk and the host link is slow)
-        ops = device_traceback(H, q, t, lens, W)
+        # CIGAR walk stays on-device over the packed direction bits; only
+        # the (B, 2L) op string leaves HBM
+        ops = device_traceback(dirs, lens, L, W)
 
         return dict(best=best, found=found, gi=gi, strand=strand, off=off,
                     ed=ed, limit=limit, ops=ops, overflow=overflow)

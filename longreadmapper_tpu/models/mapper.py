@@ -108,8 +108,12 @@ class TPUMapper:
         for i, (_, seq, _) in enumerate(reads):
             codes[i, :len(seq)] = encode_seq(seq)
             lens[i] = len(seq)
+        # (int)(ERROR_RATE * len * 2) in C double semantics (alnmain.c:428)
+        limits = ((self.params.error_rate * lens.astype(np.float64)) * 2
+                  ).astype(np.int32)
 
-        out = step(self.idx, jnp.asarray(codes), jnp.asarray(lens))
+        out = step(self.idx, jnp.asarray(codes), jnp.asarray(lens),
+                   jnp.asarray(limits))
         self.overflow_reads += int(np.asarray(out["overflow"])[:n_real].sum())
         return self._postprocess(cfg, reads, lens, out)
 

@@ -66,15 +66,15 @@ def make_sharded_map_step(cfg: MapperConfig, mesh: Mesh):
     local_cfg = replace(cfg, B=cfg.B // n_data)
     local_step = make_map_step(local_cfg)
 
-    def shard_fn(idx, codes, lens):
-        out = local_step(idx, codes, lens)
+    def shard_fn(idx, codes, lens, limits):
+        out = local_step(idx, codes, lens, limits)
         valid = jnp.sum((out["ed"] >= 0) & out["found"]).astype(jnp.int32)
         valid = jax.lax.psum(valid, "data")
         return out, valid
 
     sharded = jax.shard_map(
         shard_fn, mesh=mesh,
-        in_specs=(P(), P("data"), P("data")),
+        in_specs=(P(), P("data"), P("data"), P("data")),
         out_specs=({k: P("data") for k in
                     ("best", "found", "gi", "strand", "off", "ed", "limit",
                      "ops", "overflow")}, P()),

@@ -116,7 +116,8 @@ def test_traceback_reconstructs_cigar():
     ed, H = banded_nw_ed(jnp.asarray(q[None].astype(np.int8)),
                          jnp.asarray(t[None].astype(np.int8)),
                          jnp.asarray(lens), W, band)
-    ops = native.traceback(np.asarray(H[0]), W, q, t, L, L)
+    # H layout is (L+1, B, band); the host traceback wants (L+1, band)
+    ops = native.traceback(np.asarray(H[:, 0, :]), W, q, t, L, L)
     assert ops is not None
     # CIGAR must consume exactly L query and L target
     qlen = sum(n for n, op in ops if op in "MI")
