@@ -41,7 +41,7 @@ def main():
     from longreadmapper_tpu.formats.fastx import encode_seq
     from longreadmapper_tpu.index.device import build_device_index
     from longreadmapper_tpu.index.fmi import FMIndex
-    from longreadmapper_tpu.index.lchash import lc_build_device, lc_build_host
+    from longreadmapper_tpu.index.lchash import lc_build_from_sa
     from longreadmapper_tpu.index.sa import sa_build
     from longreadmapper_tpu.models.mapper import TPUMapper
     from longreadmapper_tpu.oracle.refpipe import OracleMapper
@@ -84,11 +84,9 @@ def main():
     log(f"host index build (SA+FMI): {time.time() - t0:.1f}s")
     t0 = time.time()
     cat = load_cat(prefix)
-    idx0, meta = build_device_index(
-        fmi, np.zeros(((1 << (2 * HLEN)), 2), np.uint64), HLEN, cat, mta)
-    kl = lc_build_device(idx0.packed, idx0.occ_samp, idx0.c4,
-                         meta.dollar_pos, meta.n, HLEN)
-    log(f"device lchash build (4^{HLEN} k-mers): {time.time() - t0:.1f}s")
+    from longreadmapper_tpu.index.fmi import encode_bytes
+    kl = lc_build_from_sa(fmi.sa, encode_bytes(cat), HLEN)
+    log(f"SA-derived lchash build (4^{HLEN} k-mers): {time.time() - t0:.1f}s")
     idx, meta = build_device_index(fmi, kl, HLEN, cat, mta)
 
     mapper = TPUMapper(idx, meta, load_mta(fa + ".mta"), params,

@@ -34,6 +34,7 @@ class DeviceIndex(NamedTuple):
     occ_samp: jnp.ndarray
     c4: jnp.ndarray
     sa: jnp.ndarray
+    sa_ctx: jnp.ndarray   # (n, 2) int32 fused rows: [SA[p], packed text window]
     lch: jnp.ndarray
     text: jnp.ndarray
     mta_start: jnp.ndarray
@@ -49,6 +50,30 @@ class IndexMeta:
     pos_dtype: str    # 'int32' | 'int64'
 
 
+def _build_sa_ctx(sa: np.ndarray, text_codes: np.ndarray) -> np.ndarray:
+    """Fused (SA value, 16-base left-context) rows — the expand-and-verify
+    seeding gathers exactly one of these per candidate vote
+    (mapping/pipeline.py) instead of running LF-refinement steps.
+
+    ctx word for SA row p: text[SA[p]-16+u] 2-bit packed at bits [2u, 2u+2)
+    for u in 0..15 (out-of-range positions pack as 0 — callers gate on
+    SA[p] >= prefix length).  Requires n < 2^31 (larger genomes shard the
+    index across chips, BASELINE.json configs 3/5)."""
+    n = sa.shape[0]
+    assert n < 2**31, "fused sa_ctx requires int32 positions; shard instead"
+    dig = np.where(text_codes < 4, text_codes, 0).astype(np.uint32)
+    out = np.empty((n, 2), dtype=np.int32)
+    shifts = (2 * np.arange(16, dtype=np.uint32))[None, :]
+    chunk = 1 << 20
+    for s in range(0, n, chunk):
+        w = sa[s:s + chunk].astype(np.int64)[:, None] - 16 + np.arange(16)
+        v = np.where(w >= 0, dig[np.maximum(w, 0)], 0).astype(np.uint32)
+        out[s:s + chunk, 0] = sa[s:s + chunk].astype(np.int32)
+        out[s:s + chunk, 1] = np.bitwise_or.reduce(v << shifts, axis=1
+                                                   ).view(np.int32)
+    return out
+
+
 def build_device_index(fmi: FMIndex, lch_kl: np.ndarray, hlen: int,
                        cat: np.ndarray, mta: list[MtaEntry],
                        ) -> tuple[DeviceIndex, IndexMeta]:
@@ -59,13 +84,15 @@ def build_device_index(fmi: FMIndex, lch_kl: np.ndarray, hlen: int,
     dollar_pos = int(np.nonzero(bwt_codes == 4)[0][0])
     packed_codes = bwt_codes.copy()
     packed_codes[dollar_pos] = 0
+    text_codes = encode_bytes(cat)
     idx = DeviceIndex(
         packed=jnp.asarray(pack_codes(packed_codes)),
         occ_samp=jnp.asarray(occ_samples(bwt_codes, dollar_pos, dtype)),
         c4=jnp.asarray(fmi.c4().astype(dtype)),
         sa=jnp.asarray(fmi.sa.astype(dtype)),
+        sa_ctx=jnp.asarray(_build_sa_ctx(fmi.sa, text_codes)),
         lch=jnp.asarray(np.asarray(lch_kl, dtype=np.uint64).astype(dtype)),
-        text=jnp.asarray(encode_bytes(cat).astype(np.int8)),
+        text=jnp.asarray(text_codes.astype(np.int8)),
         mta_start=jnp.asarray(np.array([m.offset for m in mta], dtype=dtype)),
         mta_len=jnp.asarray(np.array([m.seq_len for m in mta], dtype=dtype)),
     )

@@ -43,6 +43,55 @@ def lc_build_host(fmi: FMIndex, hlen: int) -> np.ndarray:
     return out.astype(np.uint64)
 
 
+def lc_build_from_sa(sa: np.ndarray, cat_codes: np.ndarray, hlen: int
+                     ) -> np.ndarray:
+    """Direct SA-derived lchash build — O(n·hlen) host time, no FM searches.
+
+    The (k, l) interval of a k-mer is the contiguous run of SA rows whose
+    suffixes start with it.  Encode each suffix's first hlen characters as a
+    base-5 key ('$'/past-end = 0 < A=1 < C=2 < G=3 < T=4, matching suffix
+    lexicographic order), which is non-decreasing along the SA; the interval
+    is then two binary searches.  Produces bit-identical tables to the
+    reference's 4^hlen serial backward searches (lchash.c:52-73) — checked
+    against lc_build_host in tests.
+
+    sa: (n,) suffix array of the .cat text; cat_codes: (n,) uint8 codes
+    (0..3 = ACGT, 4 = '$').  Returns (4^hlen, 2) uint64, absent k-mers (0,0).
+    """
+    n = sa.shape[0]
+    dig = np.where(cat_codes < 4, cat_codes + 1, 0).astype(np.int64)
+    pw = 5 ** (hlen - 1 - np.arange(hlen, dtype=np.int64))
+    keys = np.zeros(n, dtype=np.int64)
+    chunk = 1 << 20
+    for s in range(0, n, chunk):
+        w = sa[s:s + chunk].astype(np.int64)[:, None] + np.arange(hlen)
+        v = np.where(w < n, dig[np.minimum(w, n - 1)], 0)
+        keys[s:s + chunk] = v @ pw
+    upper = 1 << (2 * hlen)
+    ids = np.arange(upper, dtype=np.int64)
+    mdig = np.empty((upper, hlen), dtype=np.int64)
+    for t in range(hlen):
+        mdig[:, t] = ((ids >> (2 * (hlen - 1 - t))) & 3) + 1
+    mkeys = mdig @ pw
+    lo = np.searchsorted(keys, mkeys, side="left")
+    hi = np.searchsorted(keys, mkeys, side="right")
+    # Reference quirk, replicated exactly: fmi_aln's init (k=1, l=n-1) plus
+    # the inclusive-Occ `+1` recurrence (fmidx.c:306) can never enter the
+    # row of the terminal suffix "P$", so the occurrence of a k-mer at
+    # position n-1-hlen is always missed.  That row sorts first in its run
+    # ('$' is smallest), so bump its k-mer's lower bound.
+    term = n - 1 - hlen
+    if term >= 0 and np.all(cat_codes[term:term + hlen] < 4):
+        kid = 0
+        for t in range(hlen):
+            kid = (kid << 2) | int(cat_codes[term + t])
+        lo[kid] += 1
+    absent = lo >= hi
+    out = np.stack([np.where(absent, 0, lo), np.where(absent, 0, hi - 1)],
+                   axis=1)
+    return out.astype(np.uint64)
+
+
 def lc_build_device(packed, occ_samp, c4, dollar_pos: int, n: int, hlen: int,
                     chunk: int = 1 << 20) -> np.ndarray:
     """TPU lchash build: batched backward search over all 4^hlen k-mers.

@@ -22,16 +22,28 @@ Replicates the per-read control flow of the reference's PART 1-3
       limit = (int)(ERROR_RATE * len * 2) (:428); distance > limit => -1
       (unmapped, flag 0x4)
 
-The phase loop is a lax.while_loop with per-read done masks — it runs
-max(phases-to-accept) iterations for the whole batch, not always all 21.
-Everything is static-shaped; per-seed SA-interval expansion is capped at
-thres-1 (exact: informative seeds have < thres hits).
+TPU-native seeding: EXPAND-AND-VERIFY, not LF-refinement.  The reference
+narrows each seed's SA interval with seed_len-hlen sequential LF steps
+(lchash.c:103) — on TPU that is 2 serialized HBM gathers per step per seed.
+Instead, every candidate in the hlen-mer lchash interval is expanded
+directly and the remaining `left = seed_len - hlen` prefix characters are
+verified with ONE fused gather from the (SA value, packed 16-base left
+context) table (index/device.py sa_ctx).  Vote-order parity is exact: for
+positions matching the full seed, suffix order within the hlen-mer interval
+equals order within the seed_len-mer interval (both are decided by the text
+AFTER the shared prefix), so verified candidates appear in precisely the
+reference's SA-interval insertion order.
+
+All seed_len+gap phases are evaluated as ONE batched tensor step (phase is
+a data dimension, not a sequential loop); the reference's early-accept
+control flow is recovered exactly by a first-accepted-phase selection.
+Everything is static-shaped; per-(read, phase) vote expansion is compacted
+into `vote_budget` slots (overflow flagged per read).
 """
 
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -39,7 +51,6 @@ import numpy as np
 from jax import lax
 
 from ..index.device import DeviceIndex, IndexMeta
-from ..ops.rank import backward_step
 from ..ops.traceback import device_traceback
 from ..ops.vote import top2_small_histo, top2_votes
 from ..ops.wavefront import banded_nw_dirs
@@ -70,13 +81,24 @@ class MapperConfig:
         return self.seed_len + self.gap_len
 
     @property
+    def left(self) -> int:
+        # prefix length verified against the fused context word
+        assert 0 <= self.seed_len - self.hlen <= 16, \
+            "expand-and-verify supports hlen <= seed_len <= hlen + 16"
+        return self.seed_len - self.hlen
+
+    @property
     def max_seeds(self) -> int:
-        # j = iter + s*step, strict j < L - seed_len (alnmain.c:353)
+        # seeds per phase: j = iter + s*step must cover j < L - seed_len
         if self.L <= self.seed_len:
             return 1
         return max(1, -(-(self.L - self.seed_len) // self.step))
 
-    vote_budget: int = 1024   # max votes kept per read-phase (0 = exact full)
+    @property
+    def npos(self) -> int:
+        return self.max_seeds * self.phases
+
+    vote_budget: int = 256   # vote slots per (read, phase)
 
     @property
     def accept_frac(self):
@@ -87,10 +109,7 @@ class MapperConfig:
 
     @property
     def vote_slots(self) -> int:
-        full = self.max_seeds * self.hit_cap
-        if self.vote_budget <= 0:
-            return full
-        return min(full, -(-self.vote_budget // 128) * 128)
+        return max(128, -(-self.vote_budget // 128) * 128)
 
     @property
     def W(self) -> int:
@@ -110,128 +129,149 @@ class MapperConfig:
             error_rate=p.error_rate, vote_budget=p.vote_budget)
 
 
-def _seed_phase(cfg: MapperConfig, idx: DeviceIndex, codes, lens, it):
-    """One seeding phase for the whole batch: returns (v1, key1, v2, num_seeds)."""
-    B, S, sl, hlen = cfg.B, cfg.max_seeds, cfg.seed_len, cfg.hlen
-    left = sl - hlen
-    pos_dtype = idx.sa.dtype
+def _position_tables(cfg: MapperConfig, codes):
+    """Per-START-POSITION packed seed values, computed once with static
+    shifted slices (no gathers): for every j in [0, npos)
 
-    j = it + jnp.arange(S, dtype=jnp.int32) * cfg.step            # (S,)
-    seed_ok = j[None, :] < (lens[:, None].astype(jnp.int32) - sl)  # (B,S)
+      qw[j]  = 2-bit pack of codes[j .. j+left)          (verify pattern)
+      num[j] = lchash key of codes[j+left .. j+seed_len) (first char is the
+               most-significant 2 bits — lchash.c:36-49)
+      ok[j]  = all seed_len codes < 4 (N-free seed; N seeds hit the empty
+               interval in the reference's defined-behavior replacement)
+    """
+    B, L = codes.shape
+    sl, hlen, left, NP = cfg.seed_len, cfg.hlen, cfg.left, cfg.npos
+    need = NP + sl
+    cp = codes if need <= L else jnp.concatenate(
+        [codes, jnp.full((B, need - L), 4, codes.dtype)], axis=1)
+    c32 = cp.astype(jnp.int32)
 
-    # gather seed codes (B, S, sl)
-    gidx = jnp.clip(j[:, None] + jnp.arange(sl, dtype=jnp.int32)[None, :],
-                    0, cfg.L - 1)                                  # (S, sl)
-    seeds = codes[:, gidx].astype(jnp.int32)                       # (B,S,sl)
+    qw = jnp.zeros((B, NP), jnp.int32)
+    for t in range(left):
+        qw = qw | (c32[:, t:t + NP] << (2 * t))
+    num = jnp.zeros((B, NP), jnp.int32)
+    for t in range(hlen):
+        num = num | (c32[:, left + t:left + t + NP] << (2 * (hlen - 1 - t)))
+    ok = jnp.ones((B, NP), bool)
+    for t in range(sl):
+        ok = ok & (c32[:, t:t + NP] < 4)
+    return qw, num, ok
 
-    # lc_aln (lchash.c:89-104): 2-bit hash of the LAST hlen bases
-    tail = seeds[:, :, left:]                                      # (B,S,hlen)
-    weights = (2 * (hlen - 1 - np.arange(hlen))).astype(np.int32)
-    num = jnp.sum(tail << jnp.asarray(weights), axis=-1)  # hlen<=15: int32
-    hash_ok = jnp.all(tail < 4, axis=-1)
-    num = jnp.clip(num, 0, (1 << (2 * hlen)) - 1)
-    kl = idx.lch[num]                                              # (B,S,2)
-    k, l = kl[..., 0], kl[..., 1]
-    present = hash_ok & seed_ok & ~((k == 0) & (l == 0))
 
-    if left > 0:
-        def bstep(carry, i):
-            kk, ll = carry
-            c = seeds[:, :, left - 1 - i]
-            kk, ll = backward_step(idx.c4, idx.packed, idx.occ_samp,
-                                   cfg.dollar_pos, kk, ll, c,
-                                   present & (kk <= ll))
-            return (kk, ll), None
-        (k, l), _ = lax.scan(bstep, (k, l), jnp.arange(left))
+def _by_phase(cfg: MapperConfig, a):
+    """(B, npos) position-major -> (B*phases, max_seeds): j = it + s*step."""
+    B = a.shape[0]
+    return (a.reshape(B, cfg.max_seeds, cfg.phases)
+             .transpose(0, 2, 1)
+             .reshape(B * cfg.phases, cfg.max_seeds))
 
-    hits = jnp.where(present & (k <= l), (l - k + 1).astype(jnp.int32), 0)
-    informative = (hits > 0) & (hits < cfg.thres)                  # (B,S)
 
-    # SA-interval expansion, COMPACTED (alnmain.c:362-367): instead of a
-    # dense (S, thres-1) slot grid (mostly empty — a unique 20-mer has 1
-    # hit), lay the actual votes out contiguously: slot c belongs to seed
-    # s = searchsorted(cumsum(hits), c) at in-seed offset c - cum[s-1].
-    # Order is (seed-major, hit-minor) — exactly the reference insertion
-    # order.  Reads whose total votes exceed the budget drop the tail and
-    # raise the per-read `overflow` flag (callers surface it; the budget
-    # default covers everything a random genome produces).
-    inf_hits = jnp.where(informative, hits, 0)
-    cum = jnp.cumsum(inf_hits, axis=1)                             # (B,S)
-    total = cum[:, -1]
-    starts = cum - inf_hits                                        # (B,S)
-    C = cfg.vote_slots
-    slots = jnp.arange(C, dtype=jnp.int32)
-    # seed index per slot: the contributing seed with the largest start
-    # offset <= c (dense compare-reduce — TPU scatters serialize, a
-    # (B,S,C) bool reduce is bandwidth-trivial)
-    sid = jnp.arange(S, dtype=jnp.int32)
-    owns = informative[:, :, None] & (starts[:, :, None] <= slots[None, None, :])
-    s_idx = jnp.max(jnp.where(owns, sid[None, :, None], -1), axis=1)  # (B,C)
-    s_safe = jnp.clip(s_idx, 0, S - 1)
-    t_off = slots[None, :] - jnp.take_along_axis(starts, s_safe, axis=1)
-    vvalid = (s_idx >= 0) & (slots[None, :] < jnp.minimum(total, C)[:, None])
-    k_sel = jnp.take_along_axis(k, s_safe, axis=1).astype(pos_dtype)
-    j_sel = j[s_safe]
-    pos = jnp.clip(k_sel + t_off, 0, cfg.n - 1)
-    keys = idx.sa[pos].astype(jnp.int32) - j_sel.astype(jnp.int32)
-    v1, key1, v2 = top2_votes(keys, vvalid)
-    num_seeds = (lens.astype(jnp.int32) // cfg.step)
-    return v1, key1, v2, num_seeds, total > C
+def _seg_total(seg_id, x, C: int):
+    """Per-slot total of x within contiguous runs of equal seg_id (int32).
+
+    Doubling prefix-sum, then a doubling suffix-max broadcasts each run's
+    inclusive total back to every slot — log2(C) cheap VPU rounds each,
+    sound because runs are contiguous."""
+    B = x.shape[0]
+    s = 1
+    while s < C:
+        xs = jnp.concatenate([jnp.zeros((B, s), x.dtype), x[:, :-s]], axis=1)
+        ss = jnp.concatenate(
+            [jnp.full((B, s), -1, seg_id.dtype), seg_id[:, :-s]], axis=1)
+        x = x + jnp.where(ss == seg_id, xs, 0)
+        s *= 2
+    s = 1
+    while s < C:
+        xs = jnp.concatenate([x[:, s:], jnp.zeros((B, s), x.dtype)], axis=1)
+        ss = jnp.concatenate(
+            [seg_id[:, s:], jnp.full((B, s), -1, seg_id.dtype)], axis=1)
+        x = jnp.maximum(x, jnp.where(ss == seg_id, xs, 0))
+        s *= 2
+    return x
 
 
 def _seed_vote(cfg: MapperConfig, idx: DeviceIndex, codes, lens):
-    """The full phase loop; returns best candidate .cat offset per read."""
-    B, P = cfg.B, cfg.phases
+    """All seeding phases in one batched pass; returns (best, overflow)."""
+    B, P, S, C = cfg.B, cfg.phases, cfg.max_seeds, cfg.vote_slots
+    left = cfg.left
+    BP = B * P
 
-    def cond(state):
-        it, done, *_ = state
-        return (it < P) & jnp.any(~done)
+    qw_p, num_p, ok_p = _position_tables(cfg, codes)
+    qw = _by_phase(cfg, qw_p)                          # (BP, S)
+    num = _by_phase(cfg, num_p)
+    ok = _by_phase(cfg, ok_p)
 
-    def body(state):
-        it, done, best, acc_it, okeys, ovalid, oflow = state
-        v1, key1, v2, num_seeds, phase_oflow = _seed_phase(cfg, idx, codes,
-                                                           lens, it)
-        oflow = oflow | (~done & phase_oflow)
-        has_seeds = num_seeds > 0
-        # `(double)v / num_seeds > 0.6` (alnmain.c:375-378) as an exact
-        # rational compare (f64 is emulated on TPU): equivalent to the C
-        # double compare for all feasible v, num_seeds (the gap between
-        # the double literal and the rational is ~2e-17)
-        num, den = cfg.accept_frac
-        accept = has_seeds & ((v1 + v2) * den > num * num_seeds)
-        newly = ~done & accept
-        best = jnp.where(newly, key1, best)
-        acc_it = jnp.where(newly, it, acc_it)
-        # outer histogram add (alnmain.c:386-388): non-accepted phases with
-        # a nonzero top-1 vote contribute their top-1 key
-        outer_add = ~done & has_seeds & ~accept & (v1 != 0)
-        onehot = (jnp.arange(P, dtype=jnp.int32) == it)[None, :]
-        okeys = jnp.where(onehot & outer_add[:, None], key1[:, None], okeys)
-        ovalid = ovalid | (onehot & outer_add[:, None])
-        done = done | newly
-        return it + 1, done, best, acc_it, okeys, ovalid, oflow
+    # seed start offsets j = it + s*step, as (P, S) -> (BP, S)
+    j_ps = jnp.tile((jnp.arange(P, dtype=jnp.int32)[:, None]
+                     + cfg.step * jnp.arange(S, dtype=jnp.int32)[None, :]),
+                    (B, 1))
+    lens_bp = jnp.repeat(lens.astype(jnp.int32), P)    # (BP,)
+    seed_ok = j_ps < (lens_bp[:, None] - cfg.seed_len)
 
-    # initial carry derived from `lens` so every component carries the same
-    # device-varying type under shard_map (scan/while carries must not mix
-    # replicated-constant and sharded values)
-    zb = (lens * 0).astype(jnp.int32)                 # (B,) varying zeros
-    state0 = (
-        jnp.int32(0),
-        zb > 0,                                        # done: all False
-        zb,                                            # best
-        zb - 1,                                        # accepted-at phase
-        jnp.broadcast_to(zb[:, None], (B, P)),
-        jnp.broadcast_to((zb > 0)[:, None], (B, P)),
-        zb > 0,                                        # vote-budget overflow
-    )
-    _, done, best, acc_it, okeys, ovalid, oflow = lax.while_loop(
-        cond, body, state0)
+    # lc_access (lchash.c:12-16): one row gather; (0,0) rows = absent k-mer
+    kl = idx.lch[jnp.clip(num, 0, idx.lch.shape[0] - 1)]
+    k12 = kl[..., 0].astype(jnp.int32)
+    l12 = kl[..., 1].astype(jnp.int32)
+    present = ok & seed_ok & ~((k12 == 0) & (l12 == 0))
+    cnt = jnp.where(present, l12 - k12 + 1, 0)         # hlen-mer interval width
 
-    # post-loop overwrite (alnmain.c:400-403): reads that never accepted OR
-    # accepted exactly on the last phase take the outer histogram's top-1
-    _, okey1, _ = top2_small_histo(okeys, ovalid)
-    need_outer = ~done | (acc_it == P - 1)
-    return jnp.where(need_outer, okey1, best), oflow
+    # compaction: seed-major, interval-rank-minor contiguous slot layout
+    cum = jnp.cumsum(cnt, axis=1)
+    total = cum[:, -1]
+    starts = cum - cnt
+    slots = jnp.arange(C, dtype=jnp.int32)[None, None, :]
+    owns = (starts[:, :, None] <= slots) & (slots < cum[:, :, None])  # (BP,S,C)
+    o32 = owns.astype(jnp.int32)
+    p_rank = jnp.sum(o32 * (k12 - starts)[:, :, None], axis=1) + slots[0]
+    qw_slot = jnp.sum(o32 * qw[:, :, None], axis=1)
+    # j+1 so empty slots carry -1 (distinct from any real seed's j)
+    j_slot = jnp.sum(o32 * (j_ps + 1)[:, :, None], axis=1) - 1
+    valid = j_slot >= 0
+
+    # ONE fused gather per vote: (SA value, packed 16-base left context)
+    row = idx.sa_ctx[jnp.clip(p_rank, 0, cfg.n - 1)]   # (BP, C, 2)
+    sa12 = row[..., 0]
+    if left > 0:
+        win = lax.shift_right_logical(
+            row[..., 1].astype(jnp.uint32), np.uint32(2 * (16 - left)))
+        verified = valid & (sa12 >= left) & (win == qw_slot.astype(jnp.uint32))
+    else:
+        verified = valid
+
+    # informative filter on the VERIFIED (seed_len-mer) hit count
+    # (alnmain.c:360: 0 < hits < thres)
+    tot20 = _seg_total(j_slot, verified.astype(jnp.int32), C)
+    vote_ok = verified & (tot20 < cfg.thres)
+    keys = sa12 - left - j_slot                        # diagonal = SA - j
+
+    v1, key1, v2 = top2_votes(keys, vote_ok)           # (BP,)
+    v1 = v1.reshape(B, P)
+    key1 = key1.reshape(B, P)
+    v2 = v2.reshape(B, P)
+
+    # per-phase accept: `(double)(v1+v2)/num_seeds > 0.6` (alnmain.c:375-378)
+    # as an exact rational compare (f64 is emulated on TPU; the gap between
+    # the double literal and the rational is ~2e-17, unreachable by v/num)
+    num_seeds = (lens.astype(jnp.int32) // cfg.step)[:, None]
+    nacc, dacc = cfg.accept_frac
+    accept = (num_seeds > 0) & ((v1 + v2) * dacc > nacc * num_seeds)
+    any_acc = jnp.any(accept, axis=1)
+    it_star = jnp.argmax(accept, axis=1).astype(jnp.int32)
+    best_acc = jnp.take_along_axis(key1, it_star[:, None], axis=1)[:, 0]
+
+    # outer histogram (alnmain.c:386-388): every phase BEFORE the accepted
+    # one (all phases if none accepted) adds its nonzero top-1 key
+    pidx = jnp.arange(P, dtype=jnp.int32)[None, :]
+    upto = jnp.where(any_acc, it_star, P)[:, None]
+    outer_valid = (num_seeds > 0) & (v1 != 0) & (pidx < upto)
+    _, okey1, _ = top2_small_histo(key1, outer_valid)
+
+    # post-loop overwrite (alnmain.c:400-403): no acceptance OR acceptance
+    # exactly on the last phase -> outer top-1 wins
+    need_outer = ~any_acc | (it_star == P - 1)
+    best = jnp.where(need_outer, okey1, best_acc)
+    overflow = jnp.any((total > C).reshape(B, P), axis=1)
+    return best, overflow
 
 
 def _seq_lookup(idx: DeviceIndex, loc, qlen):

@@ -47,6 +47,7 @@ def shard_index(idx: DeviceIndex, mesh: Mesh, shard_tables: bool = False
         occ_samp=jax.device_put(idx.occ_samp, rep),
         c4=jax.device_put(idx.c4, rep),
         sa=jax.device_put(_pad0(idx.sa, nm), shard),
+        sa_ctx=jax.device_put(_pad0(idx.sa_ctx, nm), shard),
         lch=jax.device_put(_pad0(idx.lch, nm), shard),
         text=jax.device_put(_pad0(idx.text, nm), shard),
         mta_start=jax.device_put(idx.mta_start, rep),

@@ -1,0 +1,113 @@
+"""Per-stage timing of the device map step on the real chip (dev tool)."""
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.expanduser("~/.cache/jax_cc"))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from longreadmapper_tpu.formats.catmeta import create_meta, load_cat, load_mta
+from longreadmapper_tpu.formats.fastx import encode_seq
+from longreadmapper_tpu.index.device import build_device_index
+from longreadmapper_tpu.index.fmi import FMIndex
+from longreadmapper_tpu.index.fmi import encode_bytes
+from longreadmapper_tpu.index.lchash import lc_build_from_sa
+from longreadmapper_tpu.index.sa import sa_build
+from longreadmapper_tpu.mapping.pipeline import (MapperConfig, _seed_vote,
+                                                 make_map_step)
+from longreadmapper_tpu.ops.traceback import device_traceback
+from longreadmapper_tpu.ops.wavefront import banded_nw_dirs
+from longreadmapper_tpu.utils.config import Params
+
+GENOME_MB = int(os.environ.get("GMB", 4))
+B = int(os.environ.get("B", 128))
+RL = int(os.environ.get("RL", 1000))
+HLEN = 12
+
+
+def timeit(fn, *a, n=5):
+    fn(*a)  # compile
+    jax.block_until_ready(fn(*a))
+    t0 = time.perf_counter()
+    for _ in range(n):
+        r = fn(*a)
+    jax.block_until_ready(r)
+    return (time.perf_counter() - t0) / n
+
+
+def main():
+    tmp = tempfile.mkdtemp(prefix="lrm_prof_")
+    rng = np.random.default_rng(7)
+    n = GENOME_MB * 1_000_000
+    genome = "".join("ACGT"[c] for c in rng.integers(0, 4, n))
+    fa = os.path.join(tmp, "ref.fa")
+    with open(fa, "w") as f:
+        f.write(">chr1\n")
+        for i in range(0, n, 1 << 16):
+            f.write(genome[i:i + (1 << 16)] + "\n")
+    t0 = time.time()
+    mta = create_meta(fa, n_seed=0)
+    prefix = fa + ".cat"
+    sa = sa_build(prefix)
+    fmi = FMIndex.build(prefix, sa=sa)
+    print(f"SA+FMI: {time.time()-t0:.1f}s", flush=True)
+    t0 = time.time()
+    kl = lc_build_from_sa(fmi.sa, encode_bytes(load_cat(prefix)), HLEN)
+    print(f"lchash from SA: {time.time()-t0:.1f}s", flush=True)
+    idx, meta = build_device_index(fmi, kl, HLEN, load_cat(prefix),
+                                   load_mta(fa + ".mta"))
+
+    params = Params(hlen=HLEN)
+    L = 1024
+    cfg = MapperConfig.from_params(params, meta, B=B, L=L)
+    print(f"cfg: phases={cfg.phases} max_seeds={cfg.max_seeds} "
+          f"vote_slots={cfg.vote_slots} W={cfg.W} band={cfg.band}", flush=True)
+
+    comp = str.maketrans("ACGT", "TGCA")
+    codes = np.full((B, L), 4, dtype=np.int8)
+    lens = np.zeros(B, dtype=np.int32)
+    for i in range(B):
+        p = int(rng.integers(0, n - RL))
+        s = genome[p:p + RL]
+        if i % 2:
+            s = s.translate(comp)[::-1]
+        ch = np.frombuffer(s.encode(), np.uint8).copy()
+        mask = rng.random(RL) < 0.03
+        ch[mask] = np.frombuffer(b"ACGT", np.uint8)[
+            rng.integers(0, 4, int(mask.sum()))]
+        codes[i, :RL] = encode_seq(ch.tobytes().decode())
+        lens[i] = RL
+    limits = ((params.error_rate * lens.astype(np.float64)) * 2).astype(np.int32)
+    codes, lens, limits = jnp.asarray(codes), jnp.asarray(lens), jnp.asarray(limits)
+
+    step = make_map_step(cfg)
+    t_full = timeit(lambda: step(idx, codes, lens, limits))
+    print(f"full step: {t_full*1e3:.1f} ms -> {B/t_full:.0f} reads/s", flush=True)
+
+    sv = jax.jit(lambda: _seed_vote(cfg, idx, codes, lens))
+    t_sv = timeit(sv)
+    print(f"seed+vote: {t_sv*1e3:.1f} ms", flush=True)
+
+    # align-only on dummy targets
+    t_arr = idx.text[jnp.clip(jnp.arange(L)[None, :] + jnp.zeros((B, 1), jnp.int32), 0, meta.n - 1)]
+    t_arr = jnp.where(t_arr >= 4, jnp.int8(5), t_arr)
+    aln = jax.jit(lambda: banded_nw_dirs(codes, t_arr, cfg.W, cfg.band))
+    t_al = timeit(aln)
+    cells = B * L * cfg.band
+    print(f"align (banded_nw_dirs): {t_al*1e3:.1f} ms -> {cells/t_al/1e9:.1f} Gcells/s", flush=True)
+
+    dirs, _ = aln()
+    tb = jax.jit(lambda: device_traceback(dirs, lens, L, cfg.W))
+    t_tb = timeit(tb)
+    print(f"traceback: {t_tb*1e3:.1f} ms", flush=True)
+
+
+if __name__ == "__main__":
+    main()

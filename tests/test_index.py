@@ -187,3 +187,33 @@ def test_device_lchash_matches_host(small_index):
     kl_dev = lc_build_device(idx.packed, idx.occ_samp, idx.c4,
                              meta.dollar_pos, meta.n, hlen, chunk=256)
     assert np.array_equal(kl_dev, kl_host)
+
+
+def test_sa_derived_lchash_matches_host(small_index):
+    """lc_build_from_sa (searchsorted over base-5 suffix keys) must be
+    bit-identical to the FM-backward-search build for every k-mer."""
+    from longreadmapper_tpu.index.lchash import lc_build_from_sa
+    fmi, cat = small_index["fmi"], small_index["cat"]
+    for hlen in (3, 5):
+        kl_fm = lc_build_host(fmi, hlen)
+        kl_sa = lc_build_from_sa(fmi.sa, encode_bytes(cat), hlen)
+        np.testing.assert_array_equal(kl_fm, kl_sa)
+
+
+def test_sa_ctx_table_contents(small_index):
+    """Fused sa_ctx rows: [SA[p], 2-bit pack of text[SA[p]-16..SA[p])]."""
+    from longreadmapper_tpu.index.device import _build_sa_ctx
+    fmi, cat = small_index["fmi"], small_index["cat"]
+    codes = encode_bytes(cat)
+    ctx = _build_sa_ctx(fmi.sa, codes)
+    rng = np.random.default_rng(3)
+    for p in rng.integers(0, len(cat), 100):
+        sa_v = int(fmi.sa[p])
+        assert ctx[p, 0] == sa_v
+        want = 0
+        for u in range(16):
+            pos = sa_v - 16 + u
+            c = int(codes[pos]) if 0 <= pos and codes[pos] < 4 else 0
+            want |= c << (2 * u)
+        got = int(np.array(ctx[p, 1], np.int32).view(np.uint32))
+        assert got == want
