@@ -4,10 +4,12 @@ Prints ONE JSON line:
   {"metric": "reads_per_s_per_chip", "value": N, "unit": "reads/s",
    "vs_baseline": N / <numpy-oracle reads/s on this host>}
 
-The reference publishes no numbers (BASELINE.md) and its binaries cannot be
-built (the gact/ submodule is absent upstream), so the recorded baseline is
-the pure-Python/numpy oracle transcription of the reference pipeline running
-on this host's CPU — the same work, same parameters, same results.
+The reference publishes no numbers (BASELINE.md) and its ALIGNER binary
+cannot be built (the gact/ submodule is absent upstream; the index builder
+CAN be — see scripts/build_reference_accidx.sh and the byte-parity test),
+so the recorded baseline is the pure-Python/numpy oracle transcription of
+the reference pipeline running on this host's CPU — the same work, same
+parameters, same results.
 """
 
 import json
@@ -24,11 +26,11 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 import numpy as np
 
 GENOME_MB = 4
-N_READS = 512
+N_READS = 4096
 READ_LEN = 1000
 ERR = 0.03
 HLEN = 12
-CHUNK_B = 128
+CHUNK_B = 512
 
 
 def log(*a):
@@ -98,14 +100,13 @@ def main():
     log(f"warmup chunk (compile+run): {time.time() - t0:.1f}s; "
         f"valid {sum(r.valid for r in recs)}/{CHUNK_B}")
 
-    # --- timed
+    # --- timed (device/host overlapped stream)
     t0 = time.time()
     total = valid = 0
-    for start in range(0, N_READS, CHUNK_B):
-        chunk = reads[start:start + CHUNK_B]
-        recs = mapper.map_chunk(chunk)
+    chunk_iter = (reads[s:s + CHUNK_B] for s in range(0, N_READS, CHUNK_B))
+    for recs in mapper.map_stream(chunk_iter):
         valid += sum(r.valid for r in recs)
-        total += len(chunk)
+        total += len(recs)
     dt = time.time() - t0
     rps = total / dt
     cells = total * READ_LEN * (2 * mapper._steps[1024][0].W + 1)

@@ -69,10 +69,10 @@ def lc_build_from_sa(sa: np.ndarray, cat_codes: np.ndarray, hlen: int
         keys[s:s + chunk] = v @ pw
     upper = 1 << (2 * hlen)
     ids = np.arange(upper, dtype=np.int64)
-    mdig = np.empty((upper, hlen), dtype=np.int64)
+    # mkeys[i] = sum_t (digit_t(i)+1) * 5^(hlen-1-t), accumulated in place
+    mkeys = np.full(upper, pw.sum(), dtype=np.int64)
     for t in range(hlen):
-        mdig[:, t] = ((ids >> (2 * (hlen - 1 - t))) & 3) + 1
-    mkeys = mdig @ pw
+        mkeys += ((ids >> (2 * (hlen - 1 - t))) & 3) * pw[t]
     lo = np.searchsorted(keys, mkeys, side="left")
     hi = np.searchsorted(keys, mkeys, side="right")
     # Reference quirk, replicated exactly: fmi_aln's init (k=1, l=n-1) plus

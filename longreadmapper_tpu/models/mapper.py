@@ -94,9 +94,13 @@ class TPUMapper:
             self._steps[L] = (cfg, make_map_step(cfg))
         return self._steps[L]
 
-    def map_chunk(self, reads: Sequence[Tuple[str, str, Optional[str]]]
-                  ) -> List[MapRecord]:
-        """Map up to B reads: (name, seq, qual) tuples -> MapRecords."""
+    def submit_chunk(self, reads: Sequence[Tuple[str, str, Optional[str]]]):
+        """Dispatch the device step for up to B reads WITHOUT blocking.
+
+        JAX dispatch is asynchronous: the returned handle's arrays
+        materialize in the background while the host does other work
+        (collect a previous chunk, parse the next batch).  Pair with
+        collect_chunk."""
         n_real = len(reads)
         assert n_real <= self.B
         max_len = max((len(s) for _, s, _ in reads), default=1)
@@ -114,8 +118,33 @@ class TPUMapper:
 
         out = step(self.idx, jnp.asarray(codes), jnp.asarray(lens),
                    jnp.asarray(limits))
+        return (cfg, reads, lens, out)
+
+    def collect_chunk(self, pending) -> List[MapRecord]:
+        """Block on a submit_chunk handle and assemble MapRecords."""
+        cfg, reads, lens, out = pending
+        n_real = len(reads)
         self.overflow_reads += int(np.asarray(out["overflow"])[:n_real].sum())
         return self._postprocess(cfg, reads, lens, out)
+
+    def map_chunk(self, reads: Sequence[Tuple[str, str, Optional[str]]]
+                  ) -> List[MapRecord]:
+        """Map up to B reads: (name, seq, qual) tuples -> MapRecords."""
+        return self.collect_chunk(self.submit_chunk(reads))
+
+    def map_stream(self, chunk_iter):
+        """Map an iterator of read chunks with device/host overlap: chunk
+        k+1's device step runs while chunk k's records are assembled (the
+        TPU-native version of the reference's pipelined batch loop,
+        alnmain.c:302-527 / SURVEY.md P4)."""
+        pending = None
+        for chunk in chunk_iter:
+            nxt = self.submit_chunk(chunk)
+            if pending is not None:
+                yield self.collect_chunk(pending)
+            pending = nxt
+        if pending is not None:
+            yield self.collect_chunk(pending)
 
     def _postprocess(self, cfg: MapperConfig, reads, lens, out) -> List[MapRecord]:
         found = np.asarray(out["found"])

@@ -18,7 +18,8 @@ import numpy as np
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _SO = os.path.join(_DIR, "_lrm_native.so")
-_SOURCES = [os.path.join(_DIR, f) for f in ("sais.cpp", "align.cpp")]
+_SOURCES = [os.path.join(_DIR, f)
+            for f in ("sais.cpp", "align.cpp", "affine.cpp", "myers.cpp")]
 
 _lock = threading.Lock()
 _lib: Optional[ctypes.CDLL] = None
@@ -70,6 +71,21 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_int32, ctypes.c_int32,
             ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int32),
             ctypes.c_int32, ctypes.POINTER(ctypes.c_int32),
+        ]
+        lib.lrm_affine_align.restype = ctypes.c_int32
+        lib.lrm_affine_align.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int32, ctypes.POINTER(ctypes.c_int32),
+        ]
+        lib.lrm_myers_distance.restype = ctypes.c_int
+        lib.lrm_myers_distance.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+            ctypes.c_int, ctypes.POINTER(ctypes.c_int64),
         ]
         _lib = lib
         HAVE_NATIVE = True
@@ -230,3 +246,135 @@ def _banded_align_py(q, t, W):
     if ops is None:
         return -1, None
     return int(H[qlen, d_end]), ops
+
+
+def affine_align(q: np.ndarray, t: np.ndarray, W: int, match: int = 2,
+                 mismatch: int = -2, gap_open: int = 3, gap_ext: int = 1):
+    """Banded affine-gap local alignment with CIGAR — the `compute_cigar`
+    equivalent (reference ssw_use.c:27-54 parameters by default).
+
+    Returns (score, (q_beg, q_end, t_beg, t_end), ops) with 0-based
+    half-open coordinates, or (0, None, None) when nothing scores > 0.
+    Falls back to a numpy DP without the native library.
+    """
+    q = np.ascontiguousarray(q, dtype=np.uint8)
+    t = np.ascontiguousarray(t, dtype=np.uint8)
+    lib = _load()
+    if lib is not None:
+        max_ops = 2 * (q.shape[0] + t.shape[0]) + 4
+        ops = np.empty(max_ops, dtype=np.uint8)
+        lens = np.empty(max_ops, dtype=np.int32)
+        out5 = np.zeros(5, dtype=np.int32)
+        n = lib.lrm_affine_align(
+            _as_u8_ptr(q), q.shape[0], _as_u8_ptr(t), t.shape[0], W,
+            match, mismatch, gap_open, gap_ext,
+            _as_u8_ptr(ops),
+            lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), max_ops,
+            out5.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+        if n < 0:
+            return 0, None, None
+        return (int(out5[0]), tuple(int(x) for x in out5[1:5]),
+                [(int(lens[i]), chr(ops[i])) for i in range(n)])
+    return _affine_align_py(q, t, W, match, mismatch, gap_open, gap_ext)
+
+
+def _affine_align_py(q, t, W, match, mismatch, gap_open, gap_ext):
+    qlen, tlen = q.shape[0], t.shape[0]
+    band = 2 * W + 1
+    NEGI = -(1 << 28)
+    oe = gap_open + gap_ext
+    H = np.zeros((qlen + 1, band), np.int32)
+    E = np.full((qlen + 1, band), NEGI, np.int32)
+    F = np.full((qlen + 1, band), NEGI, np.int32)
+    best, bi, bj = 0, 0, 0
+    for i in range(1, qlen + 1):
+        for d in range(band):
+            j = i + d - W
+            if j < 1 or j > tlen:
+                continue
+            hup = H[i - 1, d + 1] if d + 1 < band else NEGI
+            fup = F[i - 1, d + 1] if d + 1 < band else NEGI
+            f = max(hup - oe, fup - gap_ext)
+            hl = H[i, d - 1] if d >= 1 else NEGI
+            el = E[i, d - 1] if d >= 1 else NEGI
+            e = max(hl - oe, el - gap_ext)
+            s = (match if q[i - 1] == t[j - 1] else mismatch) \
+                if q[i - 1] < 4 and t[j - 1] < 4 else 0
+            h = max(0, H[i - 1, d] + s, e, f)
+            H[i, d], E[i, d], F[i, d] = h, e, f
+            if h > best:
+                best, bi, bj = h, i, j
+    if best <= 0:
+        return 0, None, None
+    i, j, state, rev = bi, bj, 0, []
+    while i > 0 and j > 0:
+        d = j - i + W
+        if state == 0:
+            if H[i, d] == 0:
+                break
+            s = (match if q[i - 1] == t[j - 1] else mismatch) \
+                if q[i - 1] < 4 and t[j - 1] < 4 else 0
+            if H[i - 1, d] + s == H[i, d]:
+                rev.append("M"); i -= 1; j -= 1
+            elif F[i, d] == H[i, d]:
+                state = 2
+            else:
+                state = 1
+        elif state == 1:
+            rev.append("D")
+            hl = H[i, d - 1] if d >= 1 else NEGI
+            state = 0 if hl - oe == E[i, d] else 1
+            j -= 1
+        else:
+            rev.append("I")
+            hup = H[i - 1, d + 1] if d + 1 < band else NEGI
+            state = 0 if hup - oe == F[i, d] else 2
+            i -= 1
+    ops: List[Tuple[int, str]] = []
+    for op in reversed(rev):
+        if ops and ops[-1][1] == op:
+            ops[-1] = (ops[-1][0] + 1, op)
+        else:
+            ops.append((1, op))
+    return best, (i, bi, j, bj), ops
+
+
+def myers_distance(q: np.ndarray, t: np.ndarray, mode: str = "NW"
+                   ) -> Tuple[int, int]:
+    """Myers bit-parallel edit distance (the edlib-equivalent scorer).
+
+    mode: 'NW' (global), 'SHW' (free target suffix), 'HW' (free target
+    prefix and suffix).  Returns (distance, end) — end = 1-based target
+    position where the best alignment ends (n for NW).
+    """
+    modes = {"NW": 0, "SHW": 1, "HW": 2}
+    q = np.ascontiguousarray(q, dtype=np.uint8)
+    t = np.ascontiguousarray(t, dtype=np.uint8)
+    lib = _load()
+    if lib is not None:
+        out2 = np.zeros(2, dtype=np.int64)
+        lib.lrm_myers_distance(
+            _as_u8_ptr(q), q.shape[0], _as_u8_ptr(t), t.shape[0],
+            modes[mode], out2.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+        return int(out2[0]), int(out2[1])
+    return _myers_py(q, t, modes[mode])
+
+
+def _myers_py(q, t, mode):
+    m, n = q.shape[0], t.shape[0]
+    if m == 0:
+        return (n, n) if mode == 0 else (0, 0)
+    prev = np.arange(m + 1, dtype=np.int64)
+    best, pos = prev[m], 0
+    for j in range(1, n + 1):
+        cur = np.empty(m + 1, dtype=np.int64)
+        cur[0] = j if mode != 2 else 0
+        sub = np.where((q < 4) & (q == t[j - 1]), 0, 1)
+        for i in range(1, m + 1):
+            cur[i] = min(prev[i] + 1, cur[i - 1] + 1, prev[i - 1] + sub[i - 1])
+        prev = cur
+        if mode != 0 and cur[m] < best:
+            best, pos = cur[m], j
+    if mode == 0:
+        return int(prev[m]), n
+    return int(best), pos

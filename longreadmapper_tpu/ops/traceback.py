@@ -46,5 +46,10 @@ def device_traceback(dirs, lens, L: int, W: int):
 
     lens32 = lens.astype(jnp.int32)
     carry0 = (lens32, lens32, lens32 <= 0)
-    _, ops = lax.scan(step, carry0, None, length=2 * L)
-    return jnp.transpose(ops)  # (B, 2L)
+    # A path takes len + #I steps and #I == #D <= ed; reads the pipeline
+    # accepts have ed <= limit <= W, so L + W + 1 steps always complete
+    # their walk.  Over-limit reads may truncate — their CIGAR is discarded
+    # ('*' in SAM, models/mapper.py) exactly as the reference discards
+    # failed alignments (alnmain.c:466).
+    _, ops = lax.scan(step, carry0, None, length=min(2 * L, L + W + 1))
+    return jnp.transpose(ops)  # (B, L+W+1)

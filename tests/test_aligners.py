@@ -1,0 +1,136 @@
+"""Aligner-family tests: the SSW-equivalent affine-gap scorer and the
+edlib-equivalent Myers distance, cross-checked three ways (TPU op == native
+C++ == brute-force numpy) — re-creating the reference's per-library test
+drivers (ssw/ssw_test.c, edlib/ed_test.c) as property tests."""
+
+import numpy as np
+import pytest
+
+from longreadmapper_tpu import native
+
+MATCH, MISMATCH, OPEN, EXT = 2, -2, 3, 1   # ssw_use.c:27-54
+
+
+def brute_affine_best(q, t):
+    """Unbanded affine SW best score (numpy reference)."""
+    m, n = len(q), len(t)
+    NEG = -(1 << 28)
+    H = np.zeros((m + 1, n + 1), np.int32)
+    E = np.full((m + 1, n + 1), NEG, np.int32)
+    F = np.full((m + 1, n + 1), NEG, np.int32)
+    best = 0
+    for i in range(1, m + 1):
+        for j in range(1, n + 1):
+            E[i, j] = max(H[i, j - 1] - OPEN - EXT, E[i, j - 1] - EXT)
+            F[i, j] = max(H[i - 1, j] - OPEN - EXT, F[i - 1, j] - EXT)
+            s = (MATCH if q[i - 1] == t[j - 1] else MISMATCH) \
+                if q[i - 1] < 4 and t[j - 1] < 4 else 0
+            H[i, j] = max(0, H[i - 1, j - 1] + s, E[i, j], F[i, j])
+            best = max(best, int(H[i, j]))
+    return best
+
+
+def brute_edit(q, t, mode):
+    m, n = len(q), len(t)
+    D = np.zeros((m + 1, n + 1), np.int64)
+    D[:, 0] = np.arange(m + 1)
+    D[0, :] = 0 if mode == "HW" else np.arange(n + 1)
+    for i in range(1, m + 1):
+        for j in range(1, n + 1):
+            s = 0 if (q[i - 1] < 4 and q[i - 1] == t[j - 1]) else 1
+            D[i, j] = min(D[i - 1, j] + 1, D[i, j - 1] + 1,
+                          D[i - 1, j - 1] + s)
+    if mode == "NW":
+        return int(D[m, n])
+    return int(D[m].min())
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_affine_native_matches_brute(seed):
+    rng = np.random.default_rng(seed)
+    m = int(rng.integers(20, 60))
+    q = rng.integers(0, 4, m).astype(np.uint8)
+    t = q.copy()
+    for _ in range(3):
+        p = int(rng.integers(0, m))
+        t[p] = (t[p] + 1) % 4
+    W = 16
+    score, span, ops = native.affine_align(q, t, W)
+    assert score == brute_affine_best(q, t)
+    # CIGAR consistency: ops consume exactly the reported spans
+    qc = sum(c for c, op in ops if op in "MI")
+    tc = sum(c for c, op in ops if op in "MD")
+    assert qc == span[1] - span[0]
+    assert tc == span[3] - span[2]
+
+
+def test_affine_with_indel():
+    rng = np.random.default_rng(7)
+    q = rng.integers(0, 4, 50).astype(np.uint8)
+    t = np.concatenate([q[:20], q[23:]]).astype(np.uint8)  # 3-base deletion
+    score, span, ops = native.affine_align(q, t, 16)
+    assert score == brute_affine_best(q, t)
+    assert any(op == "I" and c == 3 for c, op in ops)
+
+
+def test_affine_no_positive_score():
+    q = np.zeros(10, np.uint8)          # AAAA...
+    t = np.full(10, 3, np.uint8)        # TTTT...
+    score, span, ops = native.affine_align(q, t, 8)
+    assert score == 0 and span is None
+
+
+def test_affine_device_matches_native():
+    from longreadmapper_tpu.ops.affine import banded_sw_affine
+    import jax.numpy as jnp
+    rng = np.random.default_rng(3)
+    B, L, W = 8, 64, 16
+    band = 128
+    q = rng.integers(0, 4, (B, L)).astype(np.int8)
+    t = np.empty_like(q)
+    for b in range(B):
+        t[b] = q[b]
+        for _ in range(4):
+            p = int(rng.integers(0, L))
+            t[b, p] = (t[b, p] + int(rng.integers(1, 4))) % 4
+    sc, ei, ej = banded_sw_affine(jnp.asarray(q), jnp.asarray(t), W, band)
+    for b in range(B):
+        ns, span, _ = native.affine_align(q[b].astype(np.uint8),
+                                          t[b].astype(np.uint8), W)
+        assert int(sc[b]) == ns, b
+        if ns > 0:
+            assert int(ei[b]) == span[1], b
+            assert int(ej[b]) == span[3], b
+
+
+@pytest.mark.parametrize("mode", ["NW", "SHW", "HW"])
+@pytest.mark.parametrize("seed", [0, 5])
+def test_myers_matches_brute(mode, seed):
+    rng = np.random.default_rng(seed)
+    m = int(rng.integers(3, 200))       # crosses the 64-bit block boundary
+    n = int(rng.integers(3, 260))
+    q = rng.integers(0, 4, m).astype(np.uint8)
+    t = rng.integers(0, 4, n).astype(np.uint8)
+    d, _ = native.myers_distance(q, t, mode)
+    assert d == brute_edit(q, t, mode)
+
+
+def test_myers_infix_location():
+    rng = np.random.default_rng(11)
+    t = rng.integers(0, 4, 300).astype(np.uint8)
+    q = t[100:180].copy()
+    q[10] = (q[10] + 1) % 4
+    d, end = native.myers_distance(q, t, "HW")
+    assert d == 1
+    assert end == 180
+
+
+def test_myers_matches_banded_align_nw():
+    rng = np.random.default_rng(13)
+    q = rng.integers(0, 4, 120).astype(np.uint8)
+    t = q.copy()
+    t[40] = (t[40] + 1) % 4
+    t = np.concatenate([t[:70], t[72:]]).astype(np.uint8)
+    d, _ = native.myers_distance(q, t, "NW")
+    ed, _ = native.banded_align(q, t, 16)
+    assert d == ed == 3  # 1 sub + 2-base gap
