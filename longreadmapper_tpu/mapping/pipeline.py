@@ -337,11 +337,26 @@ def make_map_step(cfg: MapperConfig):
         limit = limits.astype(jnp.int32)
         ed = jnp.where(ed_raw <= limit, ed_raw, -1)
 
-        # CIGAR walk stays on-device over the packed direction bits; only
-        # the (B, 2L) op string leaves HBM
+        # CIGAR walk stays on-device over the packed direction bits
         ops = device_traceback(dirs, lens, L, W)
 
-        return dict(best=best, found=found, gi=gi, strand=strand, off=off,
-                    ed=ed, limit=limit, ops=ops, overflow=overflow)
+        # Host-link layout: remote-attached TPUs pay per-array round trips
+        # and ~MB/s-scale D2H, so everything leaves the device as exactly
+        # two dense arrays — per-read scalars stacked into `meta` and the
+        # op string packed 2 bits/op (codes 0=M 1=I 2=D 3=pad).
+        meta = jnp.stack([best.astype(jnp.int32), found.astype(jnp.int32),
+                          gi, strand.astype(jnp.int32),
+                          off.astype(jnp.int32), ed, limit,
+                          overflow.astype(jnp.int32)], axis=1)
+        Lw = ops.shape[1]
+        pad = (-Lw) % 16
+        if pad:
+            ops = jnp.concatenate(
+                [ops, jnp.full((B, pad), 3, ops.dtype)], axis=1)
+        shifts = (2 * jnp.arange(16, dtype=jnp.int32))[None, None, :]
+        ops_packed = jnp.sum(
+            ops.reshape(B, -1, 16).astype(jnp.int32) << shifts,
+            axis=-1).astype(jnp.int32)
+        return dict(meta=meta, ops=ops_packed)
 
     return step

@@ -122,9 +122,13 @@ class TPUMapper:
 
     def collect_chunk(self, pending) -> List[MapRecord]:
         """Block on a submit_chunk handle and assemble MapRecords."""
+        import jax
         cfg, reads, lens, out = pending
         n_real = len(reads)
-        self.overflow_reads += int(np.asarray(out["overflow"])[:n_real].sum())
+        # ONE batched device->host fetch: per-array np.asarray syncs pay a
+        # full round-trip each on remote-attached TPUs
+        out = jax.device_get(out)
+        self.overflow_reads += int(out["meta"][:n_real, 7].sum())
         return self._postprocess(cfg, reads, lens, out)
 
     def map_chunk(self, reads: Sequence[Tuple[str, str, Optional[str]]]
@@ -147,12 +151,16 @@ class TPUMapper:
             yield self.collect_chunk(pending)
 
     def _postprocess(self, cfg: MapperConfig, reads, lens, out) -> List[MapRecord]:
-        found = np.asarray(out["found"])
-        gi = np.asarray(out["gi"])
-        strand = np.asarray(out["strand"])
-        off = np.asarray(out["off"])
-        ed = np.asarray(out["ed"])
-        ops_arr = np.asarray(out["ops"])
+        meta = np.asarray(out["meta"])
+        found = meta[:, 1] != 0
+        gi = meta[:, 2]
+        strand = meta[:, 3] != 0
+        off = meta[:, 4]
+        ed = meta[:, 5]
+        packed = np.asarray(out["ops"])
+        shifts = (2 * np.arange(16, dtype=np.int32))[None, None, :]
+        ops_arr = ((packed[:, :, None] >> shifts) & 3).reshape(
+            packed.shape[0], -1).astype(np.int8)
 
         recs: List[MapRecord] = []
         for i, (name, seq, qual) in enumerate(reads):

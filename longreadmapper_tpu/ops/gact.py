@@ -1,0 +1,158 @@
+"""Tiled long-read alignment: blocked banded NW with rematerialized
+traceback — the GACT-class aligner for reads too long to keep a full
+direction matrix in HBM.
+
+The reference's GACT (absent submodule; Darwin ASPLOS'18 algorithm per
+SURVEY.md §2) bounds memory by aligning fixed T x T tiles greedily and
+stitching.  The TPU-native equivalent keeps the alignment EXACT instead:
+
+  forward pass   — the banded DP runs tile-by-tile over query rows
+                   (lax.scan of K tiles, T rows each), storing only each
+                   tile's ENTRY row (checkpoint) and the band-center score
+                   column: O(K * band) memory instead of O(L * band).
+  traceback pass — tiles replay in reverse; each tile's 2-bit direction
+                   rows are recomputed from its checkpoint (classic
+                   rematerialization: 2x DP compute for O(T * band) dirs
+                   memory), then the CIGAR walk crosses the tile on
+                   device exactly as ops/traceback.py does.
+
+Same contract as banded_nw_dirs + device_traceback (tie-break M > I > D,
+query pad 4 never matches target pad 5, INF outside band/domain); tested
+equal against the single-tile path.  The walk grants each tile T + W + 1
+steps (a tile's walk takes T row-steps plus its share of <= ed <= W
+D-steps), so op rows come out (K * (T + W + 1)) wide with pad gaps between
+tile segments — the host RLE ignores pads.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .wavefront import INF, _minplus_scan
+
+OP_PAD = 3
+
+
+def _row0(B: int, L: int, W: int, band: int, q, dt):
+    d_idx = jnp.arange(band, dtype=dt)
+    j0 = d_idx - W
+    row = jnp.where((j0 >= 0) & (j0 <= L), jnp.maximum(j0, 0), INF).astype(dt)
+    return row[None, :] + q[:, :1].astype(dt) * 0
+
+
+def _dp_row_step(q, tpad, L: int, W: int, band: int, with_dirs: bool):
+    """Row update shared by both passes (see ops/wavefront.banded_nw_dirs)."""
+    B = q.shape[0]
+    dt = jnp.int32
+    d_idx = jnp.arange(band, dtype=dt)
+    shifts = (2 * jnp.arange(16, dtype=dt))[None, None, :]
+
+    def step(hprev, i):
+        tw = lax.dynamic_slice(tpad, (0, i), (B, band)).astype(dt)
+        qc = lax.dynamic_slice(q, (0, i - 1), (B, 1)).astype(dt)
+        sub = (qc != tw).astype(dt)
+        up = jnp.concatenate([hprev[:, 1:], jnp.full((B, 1), INF, dt)],
+                             axis=1)
+        cand = jnp.minimum(hprev + sub, up + 1)
+        row = _minplus_scan(cand, band)
+        j = i + d_idx[None, :] - W
+        row = jnp.where((j >= 0) & (j <= L), jnp.minimum(row, INF), INF)
+        if not with_dirs:
+            return row, row[:, W].astype(jnp.int16)
+        diag_ok = (hprev < INF) & (hprev + sub == row)
+        up_ok = up + 1 == row
+        dirs = jnp.where(diag_ok, 0, jnp.where(up_ok, 1, 2))
+        packed = jnp.sum(dirs.reshape(B, band // 16, 16) << shifts,
+                         axis=-1).astype(jnp.int32)
+        return row, packed
+
+    return step
+
+
+@partial(jax.jit, static_argnames=("T", "W", "band"))
+def gact_forward(q, t, T: int, W: int, band: int):
+    """Forward checkpointed DP.
+
+    q (B, L) query codes (pad 4), t (B, L) target codes (pad/'$' -> 5),
+    L divisible by T.  Returns (ckpt (K+1, B, band) int32, wcol (L+1, B)
+    int16) — ckpt[k] is H row k*T; wcol[i] = H[i, W] (ed of read b is
+    wcol[lens_b, b])."""
+    B, L = q.shape
+    assert L % T == 0
+    K = L // T
+    dt = jnp.int32
+    tpad = jnp.pad(t.astype(jnp.int8), ((0, 0), (W + 1, band)),
+                   constant_values=5)
+    row_step = _dp_row_step(q, tpad, L, W, band, with_dirs=False)
+
+    def tile(h, k):
+        def inner(hc, r):
+            return row_step(hc, k * T + 1 + r)
+        h2, wc = lax.scan(inner, h, jnp.arange(T))
+        return h2, (h, wc)                    # emit ENTRY row + tile wcol
+
+    h0 = _row0(B, L, W, band, q, dt)
+    hK, (ckpt, wcols) = lax.scan(tile, h0, jnp.arange(K))
+    ckpt = jnp.concatenate([ckpt, hK[None]], axis=0)     # (K+1, B, band)
+    wcol = jnp.concatenate([h0[:, W].astype(jnp.int16)[None],
+                            wcols.reshape(L, B)], axis=0)
+    return ckpt, wcol
+
+
+@partial(jax.jit, static_argnames=("T", "W", "band"))
+def gact_traceback(q, t, ckpt, lens, T: int, W: int, band: int):
+    """Reverse rematerialized CIGAR walk.
+
+    Returns ops (B, K*(T+W+1)) int8 in end-to-start order with pad gaps
+    (code 3) between tile segments."""
+    B, L = q.shape
+    K = L // T
+    steps = T + W + 1
+    dt = jnp.int32
+    tpad = jnp.pad(t.astype(jnp.int8), ((0, 0), (W + 1, band)),
+                   constant_values=5)
+    row_step = _dp_row_step(q, tpad, L, W, band, with_dirs=True)
+    nw = band // 16
+    bidx = jnp.arange(B, dtype=dt)
+    lens32 = lens.astype(dt)
+
+    def tile(carry, kk):
+        i, j, done = carry
+        k = K - 1 - kk
+        # recompute this tile's packed dirs from its checkpoint row
+        def inner(hc, r):
+            return row_step(hc, k * T + 1 + r)
+        _, dirs = lax.scan(inner, ckpt[k], jnp.arange(T))   # (T, B, nw)
+        Df = dirs.reshape(-1)
+        lo = k * T
+
+        def wstep(state, _):
+            i, j, done = state
+            # active: walk while inside this tile's rows; tile 0 also
+            # finishes row 0 (pure D moves, as banded_nw_dirs row 0)
+            in_tile = (i > lo) if k > 0 else jnp.ones_like(done)
+            active = ~done & in_tile
+            d = j - i + W
+            r = i - lo - 1                              # row within tile
+            word = jnp.take(
+                Df, jnp.clip((r * B + bidx) * nw + (d >> 4),
+                             0, T * B * nw - 1))
+            dir_ = jnp.where(i == 0, jnp.int32(2),
+                             (word >> (2 * (d & 15))) & 3)
+            op = jnp.where(active, dir_, jnp.int32(OP_PAD))
+            i2 = jnp.where(active & ((op == 0) | (op == 1)), i - 1, i)
+            j2 = jnp.where(active & ((op == 0) | (op == 2)), j - 1, j)
+            done2 = done | ((i2 == 0) & (j2 == 0))
+            return (i2, j2, done2), op.astype(jnp.int8)
+
+        (i, j, done), ops = lax.scan(wstep, (i, j, done), None,
+                                     length=steps)
+        return (i, j, done), jnp.transpose(ops)        # (B, steps)
+
+    carry0 = (lens32, lens32, lens32 <= 0)
+    _, tiles = lax.scan(tile, carry0, jnp.arange(K))    # (K, B, steps)
+    return jnp.transpose(tiles, (1, 0, 2)).reshape(B, K * steps)

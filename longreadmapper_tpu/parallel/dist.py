@@ -69,15 +69,14 @@ def make_sharded_map_step(cfg: MapperConfig, mesh: Mesh):
 
     def shard_fn(idx, codes, lens, limits):
         out = local_step(idx, codes, lens, limits)
-        valid = jnp.sum((out["ed"] >= 0) & out["found"]).astype(jnp.int32)
+        ed, found = out["meta"][:, 5], out["meta"][:, 1]
+        valid = jnp.sum((ed >= 0) & (found != 0)).astype(jnp.int32)
         valid = jax.lax.psum(valid, "data")
         return out, valid
 
     sharded = jax.shard_map(
         shard_fn, mesh=mesh,
         in_specs=(P(), P("data"), P("data"), P("data")),
-        out_specs=({k: P("data") for k in
-                    ("best", "found", "gi", "strand", "off", "ed", "limit",
-                     "ops", "overflow")}, P()),
+        out_specs=({k: P("data") for k in ("meta", "ops")}, P()),
     )
     return jax.jit(sharded)
