@@ -99,6 +99,12 @@ class MapperConfig:
         return self.max_seeds * self.phases
 
     vote_budget: int = 256   # vote slots per (read, phase)
+    gact_tile: int = 512     # row-tile for the checkpointed long-read path
+    gact_threshold: int = 2048   # buckets longer than this use ops/gact
+
+    @property
+    def use_gact(self) -> bool:
+        return self.L > self.gact_threshold
 
     @property
     def accept_frac(self):
@@ -332,13 +338,19 @@ def make_map_step(cfg: MapperConfig):
         t = idx.text[tpos]
         t = jnp.where(t >= 4, jnp.int8(5), t)
 
-        dirs, wcol = banded_nw_dirs(q, t, W, band)
+        if cfg.use_gact:
+            # long reads: checkpointed tiled DP + rematerialized walk keeps
+            # memory O(tile * band) instead of O(L * band) (ops/gact.py)
+            from ..ops.gact import gact_forward, gact_traceback
+            T = cfg.gact_tile
+            ckpt, wcol = gact_forward(q, t, T, W, band)
+            ops = gact_traceback(q, t, ckpt, lens, T, W, band)
+        else:
+            dirs, wcol = banded_nw_dirs(q, t, W, band)
+            ops = device_traceback(dirs, lens, L, W)
         ed_raw = wcol[lens, jnp.arange(B)].astype(jnp.int32)
         limit = limits.astype(jnp.int32)
         ed = jnp.where(ed_raw <= limit, ed_raw, -1)
-
-        # CIGAR walk stays on-device over the packed direction bits
-        ops = device_traceback(dirs, lens, L, W)
 
         # Host-link layout: remote-attached TPUs pay per-array round trips
         # and ~MB/s-scale D2H, so everything leaves the device as exactly

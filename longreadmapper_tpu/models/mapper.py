@@ -88,9 +88,17 @@ class TPUMapper:
         # votes dropped — raise Params.vote_budget for exact handling)
         self.overflow_reads = 0
 
+    def _b_for(self, L: int) -> int:
+        """Device batch for a length bucket: scale B down for long reads so
+        the DP working set (bands grow with L) stays within HBM."""
+        if L <= 1024:
+            return self.B
+        return max(8, (self.B * 1024 // L) // 8 * 8)
+
     def _step_for(self, L: int):
         if L not in self._steps:
-            cfg = MapperConfig.from_params(self.params, self.meta, self.B, L)
+            cfg = MapperConfig.from_params(self.params, self.meta,
+                                           self._b_for(L), L)
             self._steps[L] = (cfg, make_map_step(cfg))
         return self._steps[L]
 
@@ -107,29 +115,36 @@ class TPUMapper:
         L = _bucket_len(max_len)
         cfg, step = self._step_for(L)
 
-        codes = np.full((self.B, L), 4, dtype=np.int8)
-        lens = np.zeros(self.B, dtype=np.int32)
-        for i, (_, seq, _) in enumerate(reads):
-            codes[i, :len(seq)] = encode_seq(seq)
-            lens[i] = len(seq)
-        # (int)(ERROR_RATE * len * 2) in C double semantics (alnmain.c:428)
-        limits = ((self.params.error_rate * lens.astype(np.float64)) * 2
-                  ).astype(np.int32)
-
-        out = step(self.idx, jnp.asarray(codes), jnp.asarray(lens),
-                   jnp.asarray(limits))
-        return (cfg, reads, lens, out)
+        # long-read buckets run a smaller device batch; split the chunk
+        # into as many sub-dispatches as needed (all queued async)
+        parts = []
+        for s in range(0, max(n_real, 1), cfg.B):
+            part = reads[s:s + cfg.B]
+            codes = np.full((cfg.B, L), 4, dtype=np.int8)
+            lens = np.zeros(cfg.B, dtype=np.int32)
+            for i, (_, seq, _) in enumerate(part):
+                codes[i, :len(seq)] = encode_seq(seq)
+                lens[i] = len(seq)
+            # (int)(ERROR_RATE*len*2) in C double semantics (alnmain.c:428)
+            limits = ((self.params.error_rate * lens.astype(np.float64)) * 2
+                      ).astype(np.int32)
+            out = step(self.idx, jnp.asarray(codes), jnp.asarray(lens),
+                       jnp.asarray(limits))
+            parts.append((cfg, part, lens, out))
+        return parts
 
     def collect_chunk(self, pending) -> List[MapRecord]:
         """Block on a submit_chunk handle and assemble MapRecords."""
         import jax
-        cfg, reads, lens, out = pending
-        n_real = len(reads)
-        # ONE batched device->host fetch: per-array np.asarray syncs pay a
-        # full round-trip each on remote-attached TPUs
-        out = jax.device_get(out)
-        self.overflow_reads += int(out["meta"][:n_real, 7].sum())
-        return self._postprocess(cfg, reads, lens, out)
+        recs: List[MapRecord] = []
+        for cfg, reads, lens, out in pending:
+            n_real = len(reads)
+            # ONE batched device->host fetch: per-array np.asarray syncs
+            # pay a full round-trip each on remote-attached TPUs
+            out = jax.device_get(out)
+            self.overflow_reads += int(out["meta"][:n_real, 7].sum())
+            recs.extend(self._postprocess(cfg, reads, lens, out))
+        return recs
 
     def map_chunk(self, reads: Sequence[Tuple[str, str, Optional[str]]]
                   ) -> List[MapRecord]:

@@ -134,7 +134,7 @@ def gact_traceback(q, t, ckpt, lens, T: int, W: int, band: int):
             i, j, done = state
             # active: walk while inside this tile's rows; tile 0 also
             # finishes row 0 (pure D moves, as banded_nw_dirs row 0)
-            in_tile = (i > lo) if k > 0 else jnp.ones_like(done)
+            in_tile = (i > lo) | (k == 0)
             active = ~done & in_tile
             d = j - i + W
             r = i - lo - 1                              # row within tile

@@ -1,0 +1,141 @@
+"""Tiled checkpointed aligner (ops/gact.py) vs the single-tile reference
+path (ops/wavefront + ops/traceback): identical edit distances and op
+streams (after pad-stripping) for every read — rematerialization must be
+exact, not approximate."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from longreadmapper_tpu.ops.gact import gact_forward, gact_traceback
+from longreadmapper_tpu.ops.traceback import device_traceback
+from longreadmapper_tpu.ops.wavefront import banded_nw_dirs
+
+
+def _strip(ops_row):
+    return ops_row[ops_row != 3]
+
+
+def make_pair(rng, B, L, err=0.05, indel=0.02):
+    q = np.full((B, L), 4, np.int8)
+    t = np.full((B, L), 5, np.int8)
+    lens = np.zeros(B, np.int32)
+    for b in range(B):
+        n = int(rng.integers(L // 2, L - 8))
+        ref = rng.integers(0, 4, n + 40).astype(np.int8)
+        # mutate query from the target window
+        qs = []
+        i = 0
+        while i < n:
+            r = rng.random()
+            if r < indel / 2:
+                i += 1                       # deletion from query
+            elif r < indel:
+                qs.append(int(rng.integers(0, 4)))   # insertion
+            else:
+                c = int(ref[i])
+                if rng.random() < err:
+                    c = (c + int(rng.integers(1, 4))) % 4
+                qs.append(c)
+                i += 1
+        qs = qs[:n]
+        lens[b] = len(qs)
+        q[b, :len(qs)] = qs
+        t[b, :] = np.pad(ref[:L], (0, max(0, L - min(L, len(ref)))),
+                         constant_values=5)[:L]
+    return jnp.asarray(q), jnp.asarray(t), jnp.asarray(lens)
+
+
+@pytest.mark.parametrize("T", [64, 128])
+def test_gact_matches_single_tile(T):
+    rng = np.random.default_rng(5)
+    B, L, W, band = 8, 256, 32, 128
+    q, t, lens = make_pair(rng, B, L)
+
+    dirs, wcol_ref = banded_nw_dirs(q, t, W, band)
+    ops_ref = np.asarray(device_traceback(dirs, lens, L, W))
+
+    ckpt, wcol = gact_forward(q, t, T, W, band)
+    np.testing.assert_array_equal(np.asarray(wcol), np.asarray(wcol_ref))
+    ops = np.asarray(gact_traceback(q, t, ckpt, lens, T, W, band))
+
+    ed = np.asarray(wcol)[np.asarray(lens), np.arange(B)]
+    for b in range(B):
+        if ed[b] >= 0x3FFF:
+            continue
+        np.testing.assert_array_equal(_strip(ops[b]), _strip(ops_ref[b]),
+                                      err_msg=f"read {b}")
+
+
+def test_gact_checkpoint_memory_shape():
+    rng = np.random.default_rng(1)
+    B, L, T, W, band = 4, 512, 128, 32, 128
+    q, t, lens = make_pair(rng, B, L)
+    ckpt, wcol = gact_forward(q, t, T, W, band)
+    assert ckpt.shape == (L // T + 1, B, band)
+    assert wcol.shape == (L + 1, B)
+    ops = gact_traceback(q, t, ckpt, lens, T, W, band)
+    assert ops.shape == (B, (L // T) * (T + W + 1))
+
+
+def test_long_read_e2e_bucket(tmp_path):
+    """Reads past gact_threshold flow through the tiled path inside the full
+    mapper and still match the oracle."""
+    import numpy as np
+    from longreadmapper_tpu.formats.catmeta import create_meta, load_cat, load_mta
+    from longreadmapper_tpu.index.device import build_device_index
+    from longreadmapper_tpu.index.fmi import FMIndex, encode_bytes
+    from longreadmapper_tpu.index.lchash import lc_build_from_sa
+    from longreadmapper_tpu.index.sa import sa_build
+    from longreadmapper_tpu.models.mapper import TPUMapper
+    from longreadmapper_tpu.oracle.refpipe import OracleMapper
+    from longreadmapper_tpu.utils.config import Params
+    from longreadmapper_tpu.formats.sam import cigar_string
+
+    rng = np.random.default_rng(17)
+    genome = "".join("ACGT"[c] for c in rng.integers(0, 4, 60000))
+    fa = str(tmp_path / "g.fa")
+    with open(fa, "w") as f:
+        f.write(">c1\n")
+        for i in range(0, len(genome), 70):
+            f.write(genome[i:i + 70] + "\n")
+    params = Params(hlen=6)
+    mta = create_meta(fa, n_seed=0)
+    prefix = fa + ".cat"
+    sa = sa_build(prefix)
+    fmi = FMIndex.build(prefix, sa=sa)
+    kl = lc_build_from_sa(fmi.sa, encode_bytes(load_cat(prefix)), 6)
+    idx, meta = build_device_index(fmi, kl, 6, load_cat(prefix),
+                                   load_mta(fa + ".mta"))
+    mapper = TPUMapper(idx, meta, load_mta(fa + ".mta"), params, chunk_b=8)
+    oracle = OracleMapper(fmi, kl, 6, load_cat(prefix),
+                          load_mta(fa + ".mta"), params)
+
+    comp = str.maketrans("ACGT", "TGCA")
+    reads = []
+    for i in range(4):
+        p = int(rng.integers(0, len(genome) - 2600))
+        s = genome[p:p + 2600]
+        if i % 2:
+            s = s.translate(comp)[::-1]
+        ch = np.frombuffer(s.encode(), np.uint8).copy()
+        m = rng.random(2600) < 0.02
+        ch[m] = np.frombuffer(b"ACGT", np.uint8)[
+            rng.integers(0, 4, int(m.sum()))]
+        reads.append((f"L{i}", ch.tobytes().decode(), None))
+
+    cfg, _ = mapper._step_for(4096)
+    assert cfg.use_gact and cfg.B == 8  # the tiled path really runs
+
+    recs = mapper.map_chunk(reads)
+    n_valid = 0
+    for (name, seq, _), rec in zip(reads, recs):
+        o = oracle.map_read(seq)
+        assert rec.valid == o.valid, name
+        assert rec.ed == o.ed, name
+        if o.found:
+            assert rec.off == o.off, name
+        if o.valid:
+            assert rec.cigar == cigar_string(o.cigar), name
+            n_valid += 1
+    assert n_valid >= 3
