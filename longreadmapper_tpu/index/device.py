@@ -37,6 +37,8 @@ class DeviceIndex(NamedTuple):
     sa_ctx: jnp.ndarray   # (n, 2) int32 fused rows: [SA[p], packed text window]
     lch: jnp.ndarray
     text: jnp.ndarray
+    text_packed: jnp.ndarray  # (ceil(n/16),) int32, 2-bit text ('$' as 0 —
+                              # consumers remap position n-1 to the sentinel)
     mta_start: jnp.ndarray
     mta_len: jnp.ndarray
 
@@ -93,6 +95,8 @@ def build_device_index(fmi: FMIndex, lch_kl: np.ndarray, hlen: int,
         sa_ctx=jnp.asarray(_build_sa_ctx(fmi.sa, text_codes)),
         lch=jnp.asarray(np.asarray(lch_kl, dtype=np.uint64).astype(dtype)),
         text=jnp.asarray(text_codes.astype(np.int8)),
+        text_packed=jnp.asarray(
+            pack_codes(np.where(text_codes < 4, text_codes, 0))),
         mta_start=jnp.asarray(np.array([m.offset for m in mta], dtype=dtype)),
         mta_len=jnp.asarray(np.array([m.seq_len for m in mta], dtype=dtype)),
     )

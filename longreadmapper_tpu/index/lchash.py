@@ -59,20 +59,22 @@ def lc_build_from_sa(sa: np.ndarray, cat_codes: np.ndarray, hlen: int
     (0..3 = ACGT, 4 = '$').  Returns (4^hlen, 2) uint64, absent k-mers (0,0).
     """
     n = sa.shape[0]
-    dig = np.where(cat_codes < 4, cat_codes + 1, 0).astype(np.int64)
-    pw = 5 ** (hlen - 1 - np.arange(hlen, dtype=np.int64))
-    keys = np.zeros(n, dtype=np.int64)
+    kdt = np.int32 if 5 ** hlen < 2**31 else np.int64
+    dig = np.where(cat_codes < 4, cat_codes + 1, 0).astype(kdt)
+    pw = (5 ** (hlen - 1 - np.arange(hlen))).astype(kdt)
+    keys = np.zeros(n, dtype=kdt)
     chunk = 1 << 20
+    idt = np.int32 if n < 2**31 else np.int64
     for s in range(0, n, chunk):
-        w = sa[s:s + chunk].astype(np.int64)[:, None] + np.arange(hlen)
-        v = np.where(w < n, dig[np.minimum(w, n - 1)], 0)
+        w = sa[s:s + chunk].astype(idt)[:, None] + np.arange(hlen, dtype=idt)
+        v = np.where(w < n, dig[np.minimum(w, n - 1)], kdt(0))
         keys[s:s + chunk] = v @ pw
-    upper = 1 << (2 * hlen)
-    ids = np.arange(upper, dtype=np.int64)
-    # mkeys[i] = sum_t (digit_t(i)+1) * 5^(hlen-1-t), accumulated in place
-    mkeys = np.full(upper, pw.sum(), dtype=np.int64)
-    for t in range(hlen):
-        mkeys += ((ids >> (2 * (hlen - 1 - t))) & 3) * pw[t]
+    # k-mer keys by doubling: K_k[i*4 + c] = K_{k-1}[i]*5 + (c+1) —
+    # strictly increasing, so both binary-search sides stay valid
+    mkeys = np.arange(1, 5, dtype=kdt)
+    for _ in range(hlen - 1):
+        mkeys = ((mkeys * kdt(5))[:, None]
+                 + np.arange(1, 5, dtype=kdt)[None, :]).reshape(-1)
     lo = np.searchsorted(keys, mkeys, side="left")
     hi = np.searchsorted(keys, mkeys, side="right")
     # Reference quirk, replicated exactly: fmi_aln's init (k=1, l=n-1) plus

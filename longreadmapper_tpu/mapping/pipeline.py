@@ -101,6 +101,7 @@ class MapperConfig:
     vote_budget: int = 256   # vote slots per (read, phase)
     gact_tile: int = 512     # row-tile for the checkpointed long-read path
     gact_threshold: int = 2048   # buckets longer than this use ops/gact
+    ops_head_cols: int = 128     # eagerly-fetched CIGAR run bytes per read
 
     @property
     def use_gact(self) -> bool:
@@ -307,15 +308,17 @@ def _seq_lookup(idx: DeviceIndex, loc, qlen):
 def make_map_step(cfg: MapperConfig):
     """Build the jitted device mapping step.
 
-    step(idx, codes (B,L) int8, lens (B,) int32, limits (B,) int32) ->
-      dict(best, found, gi, strand, off, ed, limit, ops, overflow)
+    step(idx, codes (B,L) int8, codes_rc (B,L) int8, lens (B,) int32,
+         limits (B,) int32) -> dict(meta (B,8) int32, ops packed int32)
 
-    `limits` = (int)(ERROR_RATE * len * 2) computed HOST-side in float64
-    (alnmain.c:428 C double semantics, exactly).
+    `codes_rc` is the reverse complement of each read, front-aligned and
+    pad-4-filled, computed HOST-side at submit (a per-row device gather is
+    ~10x the cost of the numpy flip).  `limits` = (int)(ERROR_RATE*len*2)
+    in C double semantics (alnmain.c:428, exactly).
     """
 
     @jax.jit
-    def step(idx: DeviceIndex, codes, lens, limits):
+    def step(idx: DeviceIndex, codes, codes_rc, lens, limits):
         B, L, W, band = cfg.B, cfg.L, cfg.W, cfg.band
         best, overflow = _seed_vote(cfg, idx, codes, lens)
 
@@ -323,20 +326,28 @@ def make_map_step(cfg: MapperConfig):
         found, gi, strand, off, loc_fwd = _seq_lookup(idx, best, lens)
         safe_loc = jnp.clip(jnp.where(found, loc_fwd, 0), 0, cfg.n - 1)
 
-        # reverse complement reads that hit the reverse half (:433-438)
-        i_idx = jnp.arange(L, dtype=jnp.int32)[None, :]
-        rc_pos = jnp.clip(lens[:, None].astype(jnp.int32) - 1 - i_idx, 0, L - 1)
-        q_rc_raw = jnp.take_along_axis(codes, rc_pos, axis=1)
-        q_rc = jnp.where(q_rc_raw < 4, 3 - q_rc_raw, q_rc_raw)
-        in_read = i_idx < lens[:, None].astype(jnp.int32)
-        q_rc = jnp.where(in_read, q_rc, jnp.int8(4)).astype(jnp.int8)
-        q = jnp.where(strand[:, None], q_rc, codes)
+        # reverse-strand reads align their reverse complement (:433-438)
+        q = jnp.where(strand[:, None], codes_rc, codes)
 
-        # target window gather; '$'/padding -> 5 so it never matches
-        tpos = jnp.clip(safe_loc[:, None] + i_idx.astype(safe_loc.dtype),
-                        0, cfg.n - 1)
-        t = idx.text[tpos]
-        t = jnp.where(t >= 4, jnp.int8(5), t)
+        # target window via the 2-bit packed text: L/16 word gathers per
+        # read + a vector shift-realign beats L byte gathers ~10x
+        i_idx = jnp.arange(L, dtype=jnp.int32)[None, :]
+        nwords = L // 16
+        w0 = (safe_loc >> 4).astype(jnp.int32)
+        o = (safe_loc & 15).astype(jnp.int32)[:, None]
+        widx = jnp.clip(w0[:, None] + jnp.arange(nwords + 1, dtype=jnp.int32),
+                        0, idx.text_packed.shape[0] - 1)
+        wordsu = idx.text_packed[widx].astype(jnp.uint32)    # (B, nwords+1)
+        lo = lax.shift_right_logical(wordsu[:, :-1],
+                                     (2 * o).astype(jnp.uint32))
+        hi_shift = jnp.where(o > 0, 32 - 2 * o, 31).astype(jnp.uint32)
+        hi = jnp.where(o > 0, wordsu[:, 1:] << hi_shift, 0)
+        aligned = (lo | hi).astype(jnp.int32)                # (B, nwords)
+        shifts = (2 * jnp.arange(16, dtype=jnp.int32))[None, None, :]
+        t = ((aligned[:, :, None] >> shifts) & 3).reshape(B, L)
+        # '$' (position n-1) and out-of-range -> 5 so they never match
+        gpos = safe_loc[:, None] + i_idx.astype(safe_loc.dtype)
+        t = jnp.where(gpos >= cfg.n - 1, 5, t).astype(jnp.int8)
 
         if cfg.use_gact:
             # long reads: checkpointed tiled DP + rematerialized walk keeps
@@ -346,8 +357,10 @@ def make_map_step(cfg: MapperConfig):
             ckpt, wcol = gact_forward(q, t, T, W, band)
             ops = gact_traceback(q, t, ckpt, lens, T, W, band)
         else:
-            dirs, wcol = banded_nw_dirs(q, t, W, band)
-            ops = device_traceback(dirs, lens, L, W)
+            from ..ops.wavefront import banded_nw_dirs_v
+            from ..ops.traceback import device_traceback_v
+            vdirs, wcol = banded_nw_dirs_v(q, t, W, band)
+            run_bytes = device_traceback_v(vdirs, lens, L, W)
         ed_raw = wcol[lens, jnp.arange(B)].astype(jnp.int32)
         limit = limits.astype(jnp.int32)
         ed = jnp.where(ed_raw <= limit, ed_raw, -1)
@@ -360,15 +373,28 @@ def make_map_step(cfg: MapperConfig):
                           gi, strand.astype(jnp.int32),
                           off.astype(jnp.int32), ed, limit,
                           overflow.astype(jnp.int32)], axis=1)
-        Lw = ops.shape[1]
-        pad = (-Lw) % 16
-        if pad:
-            ops = jnp.concatenate(
-                [ops, jnp.full((B, pad), 3, ops.dtype)], axis=1)
-        shifts = (2 * jnp.arange(16, dtype=jnp.int32))[None, None, :]
-        ops_packed = jnp.sum(
-            ops.reshape(B, -1, 16).astype(jnp.int32) << shifts,
-            axis=-1).astype(jnp.int32)
-        return dict(meta=meta, ops=ops_packed)
+        if cfg.use_gact:
+            Lw = ops.shape[1]
+            pad = (-Lw) % 16
+            if pad:
+                ops = jnp.concatenate(
+                    [ops, jnp.full((B, pad), 3, ops.dtype)], axis=1)
+            shifts = (2 * jnp.arange(16, dtype=jnp.int32))[None, None, :]
+            ops_out = jnp.sum(
+                ops.reshape(B, -1, 16).astype(jnp.int32) << shifts,
+                axis=-1).astype(jnp.int32)
+            return dict(meta=meta, ops=ops_out)
+        # compact the run bytes (stable sort by pad flag keeps path order):
+        # at most head_cols entries are real for typical reads, so the D2H
+        # link (slow on remote-attached TPUs) ships `ops`; `ops_tail` is
+        # fetched lazily only when some read overflows the head
+        from ..ops.traceback import traceback_v_iters
+        K = traceback_v_iters(L, W) + 4
+        is_pad = ((run_bytes & 3) == 3).astype(jnp.int8)
+        _, compact = lax.sort((is_pad, run_bytes), dimension=1,
+                              is_stable=True, num_keys=1)
+        head = min(cfg.ops_head_cols, K)
+        return dict(meta=meta, ops=compact[:, :head],
+                    ops_tail=compact[:, head:K])
 
     return step

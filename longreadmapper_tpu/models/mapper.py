@@ -63,6 +63,35 @@ def _rle_ops(ops_row: np.ndarray) -> List[Tuple[int, str]]:
     return [(int(e - s), chr(_OP_CHARS[ops[s]])) for s, e in zip(starts, ends)]
 
 
+def _rle_runs_batch(runs: np.ndarray) -> List[List[Tuple[int, str]]]:
+    """Decode device_traceback_v output for a WHOLE chunk in one numpy
+    pass: (count << 2 | op) bytes in reverse path order -> merged
+    forward-order CIGAR runs per read.  Per-read numpy calls cost more
+    than the device step at these throughputs."""
+    B = runs.shape[0]
+    rev = runs[:, ::-1]
+    op = rev & 3
+    cnt = (rev >> 2).astype(np.int64)
+    valid = (op != 3) & (cnt > 0)
+    rows, cols = np.nonzero(valid)
+    if rows.size == 0:
+        return [[] for _ in range(B)]
+    ops_f = op[rows, cols]
+    cnt_f = cnt[rows, cols]
+    # group boundaries: row change or op change
+    brk = np.empty(rows.size, dtype=bool)
+    brk[0] = True
+    brk[1:] = (rows[1:] != rows[:-1]) | (ops_f[1:] != ops_f[:-1])
+    starts = np.flatnonzero(brk)
+    tot = np.add.reduceat(cnt_f, starts)
+    g_row = rows[starts]
+    g_op = ops_f[starts]
+    out: List[List[Tuple[int, str]]] = [[] for _ in range(B)]
+    for r, o, t in zip(g_row, g_op, tot):
+        out[r].append((int(t), chr(_OP_CHARS[o])))
+    return out
+
+
 def _bucket_len(n: int, minimum: int = 128) -> int:
     """Round read length up to a bucket (powers of two to 1K, then 1K steps)
     to bound jit recompiles across batches."""
@@ -117,19 +146,34 @@ class TPUMapper:
 
         # long-read buckets run a smaller device batch; split the chunk
         # into as many sub-dispatches as needed (all queued async)
+        import jax
+        from ..formats.fastx import _encode_lut
+        lut = _encode_lut()
+
         parts = []
         for s in range(0, max(n_real, 1), cfg.B):
             part = reads[s:s + cfg.B]
-            codes = np.full((cfg.B, L), 4, dtype=np.int8)
+            # batch encode: one raw-byte matrix, one LUT pass, one
+            # vectorized complement; only the per-read memcpys loop
+            raw = np.zeros((cfg.B, L), dtype=np.uint8)
             lens = np.zeros(cfg.B, dtype=np.int32)
             for i, (_, seq, _) in enumerate(part):
-                codes[i, :len(seq)] = encode_seq(seq)
+                raw[i, :len(seq)] = np.frombuffer(seq.encode(), np.uint8)
                 lens[i] = len(seq)
+            codes = lut[raw].astype(np.int8)
+            in_read = np.arange(L)[None, :] < lens[:, None]
+            codes[~in_read] = 4
+            comp = np.where(codes < 4, 3 - codes, codes)[:, ::-1]
+            codes_rc = np.full((cfg.B, L), 4, dtype=np.int8)
+            for i in range(len(part)):
+                n_i = int(lens[i])
+                codes_rc[i, :n_i] = comp[i, L - n_i:]
             # (int)(ERROR_RATE*len*2) in C double semantics (alnmain.c:428)
             limits = ((self.params.error_rate * lens.astype(np.float64)) * 2
                       ).astype(np.int32)
-            out = step(self.idx, jnp.asarray(codes), jnp.asarray(lens),
-                       jnp.asarray(limits))
+            dc, drc, dl, dlim = jax.device_put((codes, codes_rc, lens,
+                                                limits))
+            out = step(self.idx, dc, drc, dl, dlim)
             parts.append((cfg, part, lens, out))
         return parts
 
@@ -140,8 +184,15 @@ class TPUMapper:
         for cfg, reads, lens, out in pending:
             n_real = len(reads)
             # ONE batched device->host fetch: per-array np.asarray syncs
-            # pay a full round-trip each on remote-attached TPUs
+            # pay a full round-trip each on remote-attached TPUs.  The
+            # compacted CIGAR tail is fetched only when some read's runs
+            # overflow the eager head columns (rare: high-edit reads).
+            tail = out.pop("ops_tail", None)
             out = jax.device_get(out)
+            if tail is not None and bool((np.asarray(out["ops"][:, -1])
+                                          & 3 != 3).any()):
+                out["ops"] = np.concatenate(
+                    [out["ops"], jax.device_get(tail)], axis=1)
             self.overflow_reads += int(out["meta"][:n_real, 7].sum())
             recs.extend(self._postprocess(cfg, reads, lens, out))
         return recs
@@ -156,14 +207,32 @@ class TPUMapper:
         k+1's device step runs while chunk k's records are assembled (the
         TPU-native version of the reference's pipelined batch loop,
         alnmain.c:302-527 / SURVEY.md P4)."""
-        pending = None
+        def start_fetch(parts):
+            # queue the D2H copies right behind the compute they depend on,
+            # so they overlap the NEXT chunk's device step
+            for _, _, _, out in parts:
+                for k, a in out.items():
+                    if k == "ops_tail":
+                        continue          # fetched lazily, usually never
+                    try:
+                        a.copy_to_host_async()
+                    except AttributeError:
+                        pass
+
+        # depth-3 pipeline: a chunk is collected two submissions after its
+        # own, giving its async D2H copy a full device step of time to land
+        # (the remote-TPU link has ~30 ms SYNCHRONOUS fetch latency but
+        # near-zero cost once a copy_to_host_async has completed)
+        from collections import deque
+        queue = deque()
         for chunk in chunk_iter:
             nxt = self.submit_chunk(chunk)
-            if pending is not None:
-                yield self.collect_chunk(pending)
-            pending = nxt
-        if pending is not None:
-            yield self.collect_chunk(pending)
+            start_fetch(nxt)
+            queue.append(nxt)
+            if len(queue) > 2:
+                yield self.collect_chunk(queue.popleft())
+        while queue:
+            yield self.collect_chunk(queue.popleft())
 
     def _postprocess(self, cfg: MapperConfig, reads, lens, out) -> List[MapRecord]:
         meta = np.asarray(out["meta"])
@@ -172,10 +241,14 @@ class TPUMapper:
         strand = meta[:, 3] != 0
         off = meta[:, 4]
         ed = meta[:, 5]
-        packed = np.asarray(out["ops"])
-        shifts = (2 * np.arange(16, dtype=np.int32))[None, None, :]
-        ops_arr = ((packed[:, :, None] >> shifts) & 3).reshape(
-            packed.shape[0], -1).astype(np.int8)
+        if cfg.use_gact:
+            packed = np.asarray(out["ops"])
+            shifts = (2 * np.arange(16, dtype=np.int32))[None, None, :]
+            ops_arr = ((packed[:, :, None] >> shifts) & 3).reshape(
+                packed.shape[0], -1).astype(np.int8)
+            all_runs = None
+        else:
+            all_runs = _rle_runs_batch(np.asarray(out["ops"]))
 
         recs: List[MapRecord] = []
         for i, (name, seq, qual) in enumerate(reads):
@@ -183,7 +256,8 @@ class TPUMapper:
             ed_i = int(ed[i]) if ok else -1
             valid = ok and ed_i >= 0
             if valid:
-                ops = _rle_ops(ops_arr[i])
+                ops = (_rle_ops(ops_arr[i]) if all_runs is None
+                       else all_runs[i])
                 cig = cigar_string(ops) if ops else "*"
                 flag = 16 if strand[i] else 0
                 mapq = 255

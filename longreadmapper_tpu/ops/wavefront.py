@@ -149,3 +149,54 @@ def banded_nw_dirs(q, t, W: int, band: int):
     wcol0 = row0[:, W].astype(jnp.int16)[None]
     return (jnp.concatenate([dirs0, dirs], axis=0),
             jnp.concatenate([wcol0, wcol], axis=0))
+
+
+@partial(jax.jit, static_argnames=("W", "band"))
+def banded_nw_dirs_v(q, t, W: int, band: int):
+    """banded_nw_dirs with VERTICALLY packed direction words, sized for the
+    run-consuming walk (ops/traceback.device_traceback_v).
+
+    Word v[g, b, d] packs dirs for rows g*16+1 .. g*16+16 at band column d
+    (2 bits per row; row i at bit-pair (i-1) & 15).  An M-run descends rows
+    at a FIXED d, so it lives inside ONE word — the walk consumes a whole
+    run per gather instead of one cell.  Requires L % 16 == 0.
+
+    Returns (vdirs (L//16, B, band) int32, wcol (L+1, B) int16).
+    """
+    B, L = q.shape
+    assert L % 16 == 0
+    dt = jnp.int32
+
+    d_idx = jnp.arange(band, dtype=dt)
+    j0 = d_idx - W
+    row0 = jnp.where((j0 >= 0) & (j0 <= L), jnp.maximum(j0, 0), INF).astype(dt)
+    row0 = row0[None, :] + q[:, :1].astype(dt) * 0
+    tpad = jnp.pad(t.astype(jnp.int8), ((0, 0), (W + 1, band)),
+                   constant_values=5)
+
+    def group(hprev, g):
+        word = jnp.zeros((B, band), dt)
+        wcols = []
+        for r in range(16):
+            i = g * 16 + 1 + r
+            tw = lax.dynamic_slice(tpad, (0, i), (B, band)).astype(dt)
+            qc = lax.dynamic_slice(q, (0, i - 1), (B, 1)).astype(dt)
+            sub = (qc != tw).astype(dt)
+            up = jnp.concatenate(
+                [hprev[:, 1:], jnp.full((B, 1), INF, dt)], axis=1)
+            cand = jnp.minimum(hprev + sub, up + 1)
+            row = _minplus_scan(cand, band)
+            j = i + d_idx[None, :] - W
+            row = jnp.where((j >= 0) & (j <= L), jnp.minimum(row, INF), INF)
+            diag_ok = (hprev < INF) & (hprev + sub == row)
+            up_ok = up + 1 == row
+            dirs = jnp.where(diag_ok, 0, jnp.where(up_ok, 1, 2))
+            word = word | (dirs << (2 * r))
+            wcols.append(row[:, W].astype(jnp.int16))
+            hprev = row
+        return hprev, (word, jnp.stack(wcols, axis=0))
+
+    _, (words, wcols) = lax.scan(group, row0, jnp.arange(L // 16))
+    wcol = jnp.concatenate([row0[:, W].astype(jnp.int16)[None],
+                            wcols.reshape(L, B)], axis=0)
+    return words, wcol

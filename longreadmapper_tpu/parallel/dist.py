@@ -50,6 +50,7 @@ def shard_index(idx: DeviceIndex, mesh: Mesh, shard_tables: bool = False
         sa_ctx=jax.device_put(_pad0(idx.sa_ctx, nm), shard),
         lch=jax.device_put(_pad0(idx.lch, nm), shard),
         text=jax.device_put(_pad0(idx.text, nm), shard),
+        text_packed=jax.device_put(_pad0(idx.text_packed, nm), shard),
         mta_start=jax.device_put(idx.mta_start, rep),
         mta_len=jax.device_put(idx.mta_len, rep),
     )
@@ -67,16 +68,18 @@ def make_sharded_map_step(cfg: MapperConfig, mesh: Mesh):
     local_cfg = replace(cfg, B=cfg.B // n_data)
     local_step = make_map_step(local_cfg)
 
-    def shard_fn(idx, codes, lens, limits):
-        out = local_step(idx, codes, lens, limits)
+    def shard_fn(idx, codes, codes_rc, lens, limits):
+        out = local_step(idx, codes, codes_rc, lens, limits)
         ed, found = out["meta"][:, 5], out["meta"][:, 1]
         valid = jnp.sum((ed >= 0) & (found != 0)).astype(jnp.int32)
         valid = jax.lax.psum(valid, "data")
         return out, valid
 
+    out_keys = ("meta", "ops") if local_cfg.use_gact \
+        else ("meta", "ops", "ops_tail")
     sharded = jax.shard_map(
         shard_fn, mesh=mesh,
-        in_specs=(P(), P("data"), P("data"), P("data")),
-        out_specs=({k: P("data") for k in ("meta", "ops")}, P()),
+        in_specs=(P(), P("data"), P("data"), P("data"), P("data")),
+        out_specs=({k: P("data") for k in out_keys}, P()),
     )
     return jax.jit(sharded)

@@ -126,3 +126,58 @@ def test_traceback_reconstructs_cigar():
     # op cost must equal edit distance within band
     ed_host, ops_host = native.banded_align(q, t, W)
     assert ed_host == int(ed[0])
+
+
+def test_vertical_dirs_and_run_walk_match_reference_walk():
+    """banded_nw_dirs_v + device_traceback_v must reproduce the per-cell
+    walk's CIGAR exactly (same tie-break), run-encoded."""
+    import jax.numpy as jnp
+    from longreadmapper_tpu.ops.wavefront import (banded_nw_dirs,
+                                                  banded_nw_dirs_v)
+    from longreadmapper_tpu.ops.traceback import (device_traceback,
+                                                  device_traceback_v)
+    rng = np.random.default_rng(9)
+    B, L, W, band = 16, 256, 32, 128
+    q = np.full((B, L), 4, np.int8)
+    t = np.full((B, L), 5, np.int8)
+    lens = np.zeros(B, np.int32)
+    for b in range(B):
+        n = int(rng.integers(100, L - 4))
+        ref = rng.integers(0, 4, L).astype(np.int8)
+        qs = []
+        i = 0
+        while i < n:
+            r = rng.random()
+            if r < 0.01:
+                i += 1
+            elif r < 0.02:
+                qs.append(int(rng.integers(0, 4)))
+            else:
+                c = int(ref[i])
+                if rng.random() < 0.04:
+                    c = (c + int(rng.integers(1, 4))) % 4
+                qs.append(c)
+                i += 1
+        lens[b] = len(qs)
+        q[b, :len(qs)] = qs
+        t[b] = ref
+    q, t, lens = jnp.asarray(q), jnp.asarray(t), jnp.asarray(lens)
+
+    dirs, wcol = banded_nw_dirs(q, t, W, band)
+    ops_ref = np.asarray(device_traceback(dirs, lens, L, W))
+    vdirs, wcol_v = banded_nw_dirs_v(q, t, W, band)
+    np.testing.assert_array_equal(np.asarray(wcol), np.asarray(wcol_v))
+    runs = np.asarray(device_traceback_v(vdirs, lens, L, W))
+
+    ed = np.asarray(wcol)[np.asarray(lens), np.arange(B)]
+    for b in range(B):
+        if ed[b] >= 0x3FFF or ed[b] > W:
+            continue
+        # expand reference ops (reverse order, pad-strip)
+        ref_ops = ops_ref[b][ops_ref[b] != 3][::-1]
+        # expand run bytes
+        op = runs[b] & 3
+        cnt = (runs[b] >> 2).astype(np.int64)
+        keep = (op != 3) & (cnt > 0)
+        expanded = np.repeat(op[keep][::-1], cnt[keep][::-1])
+        np.testing.assert_array_equal(expanded, ref_ops, err_msg=f"read {b}")
