@@ -217,3 +217,12 @@ def test_sa_ctx_table_contents(small_index):
             want |= c << (2 * u)
         got = int(np.array(ctx[p, 1], np.int32).view(np.uint32))
         assert got == want
+
+
+def test_sa_build_xla_matches_native(small_index):
+    """Device prefix-doubling SA == native SA-IS (position-exact)."""
+    from longreadmapper_tpu.index.sa import sa_build_xla
+    from longreadmapper_tpu.index.fmi import encode_bytes
+    cat, fmi = small_index["cat"], small_index["fmi"]
+    sa_dev = sa_build_xla(encode_bytes(cat))
+    np.testing.assert_array_equal(sa_dev, fmi.sa)
