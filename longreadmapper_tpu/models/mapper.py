@@ -131,26 +131,17 @@ class TPUMapper:
             self._steps[L] = (cfg, make_map_step(cfg))
         return self._steps[L]
 
-    def submit_chunk(self, reads: Sequence[Tuple[str, str, Optional[str]]]):
-        """Dispatch the device step for up to B reads WITHOUT blocking.
-
-        JAX dispatch is asynchronous: the returned handle's arrays
-        materialize in the background while the host does other work
-        (collect a previous chunk, parse the next batch).  Pair with
-        collect_chunk."""
+    def _prepare_chunk(self, reads):
+        """Host-side read packing (pure numpy; safe on a worker thread)."""
         n_real = len(reads)
         assert n_real <= self.B
         max_len = max((len(s) for _, s, _ in reads), default=1)
         L = _bucket_len(max_len)
-        cfg, step = self._step_for(L)
-
-        # long-read buckets run a smaller device batch; split the chunk
-        # into as many sub-dispatches as needed (all queued async)
-        import jax
+        cfg, _ = self._step_for(L)
         from ..formats.fastx import _encode_lut
         lut = _encode_lut()
 
-        parts = []
+        prepped = []
         for s in range(0, max(n_real, 1), cfg.B):
             part = reads[s:s + cfg.B]
             # batch encode: one raw-byte matrix, one LUT pass, one
@@ -171,31 +162,56 @@ class TPUMapper:
             # (int)(ERROR_RATE*len*2) in C double semantics (alnmain.c:428)
             limits = ((self.params.error_rate * lens.astype(np.float64)) * 2
                       ).astype(np.int32)
+            prepped.append((part, codes, codes_rc, lens, limits))
+        return L, prepped
+
+    def _dispatch_chunk(self, prepared):
+        """Upload + queue the device steps (async; main thread)."""
+        import jax
+        L, prepped = prepared
+        cfg, step = self._step_for(L)
+        parts = []
+        for part, codes, codes_rc, lens, limits in prepped:
             dc, drc, dl, dlim = jax.device_put((codes, codes_rc, lens,
                                                 limits))
             out = step(self.idx, dc, drc, dl, dlim)
             parts.append((cfg, part, lens, out))
         return parts
 
-    def collect_chunk(self, pending) -> List[MapRecord]:
-        """Block on a submit_chunk handle and assemble MapRecords."""
+    def submit_chunk(self, reads: Sequence[Tuple[str, str, Optional[str]]]):
+        """Dispatch the device step for up to B reads WITHOUT blocking.
+        Pair with collect_chunk."""
+        return self._dispatch_chunk(self._prepare_chunk(reads))
+
+    def _fetch_chunk(self, pending):
+        """Block on the device outputs; returns numpy-materialized parts.
+
+        ONE batched device->host fetch per part: per-array np.asarray
+        syncs pay a full round-trip each on remote-attached TPUs.  The
+        compacted CIGAR tail is fetched only when some read's runs
+        overflow the eager head columns (rare: high-edit reads)."""
         import jax
-        recs: List[MapRecord] = []
+        fetched = []
         for cfg, reads, lens, out in pending:
-            n_real = len(reads)
-            # ONE batched device->host fetch: per-array np.asarray syncs
-            # pay a full round-trip each on remote-attached TPUs.  The
-            # compacted CIGAR tail is fetched only when some read's runs
-            # overflow the eager head columns (rare: high-edit reads).
             tail = out.pop("ops_tail", None)
             out = jax.device_get(out)
             if tail is not None and bool((np.asarray(out["ops"][:, -1])
                                           & 3 != 3).any()):
                 out["ops"] = np.concatenate(
                     [out["ops"], jax.device_get(tail)], axis=1)
-            self.overflow_reads += int(out["meta"][:n_real, 7].sum())
+            fetched.append((cfg, reads, lens, out))
+        return fetched
+
+    def _assemble_chunk(self, fetched) -> List[MapRecord]:
+        recs: List[MapRecord] = []
+        for cfg, reads, lens, out in fetched:
+            self.overflow_reads += int(out["meta"][:len(reads), 7].sum())
             recs.extend(self._postprocess(cfg, reads, lens, out))
         return recs
+
+    def collect_chunk(self, pending) -> List[MapRecord]:
+        """Block on a submit_chunk handle and assemble MapRecords."""
+        return self._assemble_chunk(self._fetch_chunk(pending))
 
     def map_chunk(self, reads: Sequence[Tuple[str, str, Optional[str]]]
                   ) -> List[MapRecord]:
@@ -203,10 +219,18 @@ class TPUMapper:
         return self.collect_chunk(self.submit_chunk(reads))
 
     def map_stream(self, chunk_iter):
-        """Map an iterator of read chunks with device/host overlap: chunk
-        k+1's device step runs while chunk k's records are assembled (the
+        """Map an iterator of read chunks with device/host overlap (the
         TPU-native version of the reference's pipelined batch loop,
-        alnmain.c:302-527 / SURVEY.md P4)."""
+        alnmain.c:302-527 / SURVEY.md P4):
+
+        A depth-3 submit/collect pipeline gives each chunk's async D2H copy
+        a full device step to land (the remote-TPU link has ~30 ms
+        SYNCHRONOUS fetch latency but near-zero cost once a
+        copy_to_host_async has completed).  Worker-thread variants were
+        measured no faster (jax dispatch holds the GIL), so this stays
+        single-threaded."""
+        from collections import deque
+
         def start_fetch(parts):
             # queue the D2H copies right behind the compute they depend on,
             # so they overlap the NEXT chunk's device step
@@ -219,11 +243,6 @@ class TPUMapper:
                     except AttributeError:
                         pass
 
-        # depth-3 pipeline: a chunk is collected two submissions after its
-        # own, giving its async D2H copy a full device step of time to land
-        # (the remote-TPU link has ~30 ms SYNCHRONOUS fetch latency but
-        # near-zero cost once a copy_to_host_async has completed)
-        from collections import deque
         queue = deque()
         for chunk in chunk_iter:
             nxt = self.submit_chunk(chunk)
