@@ -47,6 +47,21 @@ def main(argv=None) -> int:
                          "reference; pass 0 for reproducible output)")
     ma.add_argument("--quiet", action="store_true")
 
+    md = sub.add_parser("mapdist",
+                        help="multi-host mapping over a pod slice "
+                             "(one process per host; SAM stripes to "
+                             "--out-prefix.part<k>)")
+    md.add_argument("fasta")
+    md.add_argument("reads")
+    md.add_argument("pos", nargs="*", type=int)
+    md.add_argument("--out-prefix", default="out.sam")
+    md.add_argument("--chunk-b", type=int, default=0)
+    md.add_argument("--rg-id", type=int, default=0)
+    md.add_argument("--shard-index", action="store_true",
+                    help="row-shard the big index tables over a 'model' "
+                         "mesh axis instead of replicating")
+    md.add_argument("--quiet", action="store_true")
+
     args = ap.parse_args(argv)
 
     if args.cmd == "index":
@@ -69,6 +84,20 @@ def main(argv=None) -> int:
         rg_id = args.rg_id if args.rg_id is not None else int(time.time())
         run_mapping(args.fasta, args.reads, p, sys.stdout, rg_id=rg_id,
                     chunk_b=args.chunk_b, verbose=not args.quiet)
+        return 0
+
+    if args.cmd == "mapdist":
+        from .runtime.launch import run_distributed
+        if len(args.pos) == 3:
+            p = Params(batch_size=args.pos[0], seed_len=args.pos[1],
+                       thres=args.pos[2])
+        else:
+            p = read_params("params")
+        run_distributed(args.fasta, args.reads, p,
+                        out_prefix=args.out_prefix, rg_id=args.rg_id,
+                        chunk_b=args.chunk_b,
+                        shard_index_tables=args.shard_index,
+                        verbose=not args.quiet)
         return 0
 
     return 1

@@ -52,7 +52,7 @@ def pipeline(tmp_path_factory):
     chrA = cat[:16000].tobytes().decode()
     chrB = cat[32000:40000].tobytes().decode()
     return dict(mapper=mapper, oracle=oracle, chrA=chrA, chrB=chrB,
-                rng=rng, params=params)
+                rng=rng, params=params, fa=fa)
 
 
 def _compare(mapper, oracle, reads):
@@ -127,3 +127,27 @@ def test_sam_output_shape(pipeline):
         assert len(fields) == 12
         assert fields[6] == "*" and fields[7] == "0" and fields[8] == "0"
         assert fields[11].startswith("ED:I:")
+
+
+def test_mapdist_single_process(pipeline, tmp_path, monkeypatch):
+    """runtime/launch.run_distributed on one process == run_mapping output
+    (stripe .part0 with header), exercising the multi-host code path."""
+    import io
+    from longreadmapper_tpu.runtime.launch import run_distributed
+    from longreadmapper_tpu.runtime.accaln import run_mapping
+    from conftest import sample_reads, write_fastq
+
+    rng = np.random.default_rng(31)
+    reads = sample_reads(rng, pipeline["chrA"], 8, 150, error_rate=0.01)
+    fq = str(tmp_path / "r.fq")
+    write_fastq(fq, [(n, s, "I" * len(s)) for n, s, *_ in reads])
+    fa = pipeline["fa"]
+    buf = io.StringIO()
+    v1, t1 = run_mapping(fa, fq, pipeline["params"], buf, rg_id=0,
+                         verbose=False)
+    prefix = str(tmp_path / "dist.sam")
+    v2, t2 = run_distributed(fa, fq, pipeline["params"],
+                             out_prefix=prefix, rg_id=0, verbose=False)
+    assert (v1, t1) == (v2, t2)
+    part = open(prefix + ".part0").read()
+    assert part == buf.getvalue()
