@@ -34,7 +34,8 @@ class Params:
     # our flags (divergences documented)
     n_seed: int = 0            # RNG seed for N-replacement (reference: time(NULL))
     hit_cap: int = 0           # max SA hits expanded per seed; 0 = thres-1 (exact parity)
-    vote_budget: int = 256     # compacted vote slots per (read, phase)
+    vote_budget: int = 128     # compacted vote slots per (read, phase);
+                               # the per-read overflow flag reports drops
 
     def effective_hit_cap(self) -> int:
         # `rr < thres` is strict (alnmain.c:360) so an informative seed has at
