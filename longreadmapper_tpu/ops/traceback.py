@@ -86,7 +86,7 @@ def device_traceback_v(vdirs, lens, L: int, W: int):
     bidx = jnp.arange(B, dtype=jnp.int32)
     n_iter = traceback_v_iters(L, W)
 
-    def step(carry, _):
+    def step(carry):
         i, j, done = carry
         active = ~done
         d = jnp.clip(j - i + W, 0, band - 1)
@@ -117,7 +117,26 @@ def device_traceback_v(vdirs, lens, L: int, W: int):
         out = jnp.stack([b1, b2], axis=1).astype(jnp.int8)
         return (i3, j3, done3), out
 
+    # while_loop with an all-done early exit: the n_iter bound covers a
+    # worst-case ed == W read, but a typical batch finishes in
+    # ~L/16 + 2*mean(ed) iterations — half or less
     lens32 = lens.astype(jnp.int32)
+
+    def cond(state):
+        it, (i, j, done), _ = state
+        return (it < n_iter) & jnp.any(~done)
+
+    def body(state):
+        it, carry, buf = state
+        carry2, out = step(carry)
+        buf = lax.dynamic_update_slice(buf, out[None], (it, 0, 0))
+        return it + 1, carry2, buf
+
+    # derive the buffer from `lens` so the while carry has a consistent
+    # device-varying type under shard_map (a replicated-constant input
+    # becoming data-varying output is rejected)
+    zb8 = (lens32 * 0).astype(jnp.int8)
+    buf0 = jnp.full((n_iter, B, 2), OP_PAD, jnp.int8) + zb8[None, :, None]
     carry0 = (lens32, lens32, lens32 <= 0)
-    _, runs = lax.scan(step, carry0, None, length=n_iter)   # (n_iter, B, 2)
+    _, _, runs = lax.while_loop(cond, body, (jnp.int32(0), carry0, buf0))
     return jnp.transpose(runs, (1, 0, 2)).reshape(B, -1)

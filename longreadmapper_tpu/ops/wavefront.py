@@ -101,9 +101,9 @@ def banded_nw_ed(q, t, lens, W: int, band: int):
 
 @partial(jax.jit, static_argnames=("W", "band"))
 def banded_nw_dirs(q, t, W: int, band: int):
-    """Banded NW emitting only what downstream needs — the full H matrix is
-    ~30x slower to materialize than the DP itself computes (HBM-write
-    bound; measured 0.9 vs 415 Gcells/s on v5e).
+    """Banded NW emitting only what downstream needs instead of the full
+    H matrix (the production short-read path uses banded_nw_dirs_v below;
+    this row-packed variant drives the gact long-read tiles).
 
     Returns:
       dirs  (L+1, B, band//16) int32 — per-cell traceback direction packed

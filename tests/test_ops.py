@@ -1,5 +1,6 @@
 """Property tests for the core device ops against pure-Python references."""
 
+import os
 import numpy as np
 import jax.numpy as jnp
 import pytest
@@ -181,3 +182,20 @@ def test_vertical_dirs_and_run_walk_match_reference_walk():
         keep = (op != 3) & (cnt > 0)
         expanded = np.repeat(op[keep][::-1], cnt[keep][::-1])
         np.testing.assert_array_equal(expanded, ref_ops, err_msg=f"read {b}")
+
+
+@pytest.mark.skipif(os.environ.get("LRM_TPU_TESTS", "") != "1",
+                    reason="set LRM_TPU_TESTS=1 on real TPU hardware")
+def test_pallas_scores_matches_jnp_tpu():
+    """TPU-only: the hand-written Pallas kernel must agree with the XLA
+    implementation cell-for-cell."""
+    import jax.numpy as jnp
+    from longreadmapper_tpu.ops.wavefront import banded_nw_scores
+    from longreadmapper_tpu.ops.wavefront_pallas import banded_nw_scores_pallas
+    rng = np.random.default_rng(4)
+    B, L, W, band = 16, 256, 32, 128
+    q = jnp.asarray(rng.integers(0, 4, (B, L)), dtype=jnp.int8)
+    t = jnp.asarray(rng.integers(0, 4, (B, L)), dtype=jnp.int8)
+    np.testing.assert_array_equal(
+        np.asarray(banded_nw_scores(q, t, W, band)),
+        np.asarray(banded_nw_scores_pallas(q, t, W, band)))
