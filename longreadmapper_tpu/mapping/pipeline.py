@@ -116,7 +116,14 @@ class MapperConfig:
 
     @property
     def vote_slots(self) -> int:
-        return max(128, -(-self.vote_budget // 128) * 128)
+        """Vote slots per (read, phase): the configured budget, floored by
+        what the genome statistically needs — a phase expands ~max_seeds *
+        (n / 4^hlen) hlen-mer hits on a random-ish genome, so reserve 2x
+        the mean (overflow beyond that is flagged per read)."""
+        lam = self.n / float(4 ** self.hlen)
+        need = int(2 * self.max_seeds * max(lam, 0.5)) + 64
+        want = max(self.vote_budget, need, 128)
+        return -(-want // 128) * 128
 
     @property
     def W(self) -> int:
