@@ -99,6 +99,14 @@ class MapperConfig:
         return self.max_seeds * self.phases
 
     vote_budget: int = 256   # vote slots per (read, phase)
+    wide_budget: int = 0     # LF-narrowed wide-seed lanes per batch
+                             # (0 = auto: (B*phases*max_seeds)/16)
+
+    @property
+    def wide_lanes(self) -> int:
+        if self.wide_budget > 0:
+            return self.wide_budget
+        return max(512, (self.B * self.phases * self.max_seeds) // 16)
     gact_tile: int = 512     # row-tile for the checkpointed long-read path
     gact_threshold: int = 2048   # buckets longer than this use ops/gact
     ops_head_cols: int = 128     # eagerly-fetched CIGAR run bytes per read
@@ -204,6 +212,84 @@ def _seg_total(seg_id, x, C: int):
     return x
 
 
+def _narrow_wide_seeds(cfg: MapperConfig, idx: DeviceIndex, wide,
+                       k12, l12, cnt12, qw):
+    """LF-narrow repeat-heavy seeds to their exact seed_len-mer intervals.
+
+    Seeds whose hlen-mer interval is >= thres wide (`wide`, (BP, S) bool)
+    are compacted into cfg.wide_lanes lanes (one device sort), narrowed
+    with `left` masked backward-search steps (ops/rank.backward_step — the
+    reference's lchash.c:103 loop, but only on the lanes that need it),
+    informative-filtered (0 < hits < thres, alnmain.c:360), and scattered
+    back.  The whole branch runs under lax.cond, so batches with no wide
+    seeds (most genomes below ~100 Mb) skip it entirely.
+
+    Returns (k_seed (BP,S), cnt (BP,S), row_overflow (BP,)): the expansion
+    base rank per seed, its vote count (0 for filtered/non-selected wide
+    seeds), and which rows lost a wide seed to the lane budget.
+    """
+    from ..ops.rank import backward_step
+
+    BP, S = wide.shape
+    left = cfg.left
+    Kw = cfg.wide_lanes
+    N = BP * S
+
+    def no_wide(args):
+        k12, l12, cnt12, qw = args
+        # derive from `wide` so the branch outputs carry the same
+        # device-varying type under shard_map
+        return k12, cnt12, jnp.any(wide, axis=1) & False
+
+    def do_narrow(args):
+        k12, l12, cnt12, qw = args
+        flat_w = wide.reshape(-1)
+        iota = jnp.arange(N, dtype=jnp.int32)
+        key = jnp.where(flat_w, jnp.int32(0), jnp.int32(1))
+        key_s, sel = lax.sort((key, iota), dimension=0, is_stable=True,
+                              num_keys=1)
+        sel = sel[:Kw]
+        sel_valid = key_s[:Kw] == 0
+        sel_safe = jnp.where(sel_valid, sel, 0)
+        k = k12.reshape(-1)[sel_safe]
+        l = l12.reshape(-1)[sel_safe]
+        qws = qw.reshape(-1)[sel_safe]
+        if left > 0:
+            def stp(carry, t):
+                kk, ll = carry
+                c = ((qws >> (2 * t)) & 3).astype(jnp.int32)
+                kk, ll = backward_step(idx.c4, idx.packed, idx.occ_samp,
+                                       cfg.dollar_pos, kk, ll, c,
+                                       sel_valid & (kk <= ll))
+                return (kk, ll), None
+            (k, l), _ = lax.scan(stp, (k, l),
+                                 jnp.arange(left - 1, -1, -1))
+        hits = jnp.where(sel_valid & (k <= l), l - k + 1, 0)
+        informative = (hits > 0) & (hits < cfg.thres)
+        cnt_w = jnp.where(informative, hits, 0).astype(jnp.int32)
+
+        # scatter back via a one-slot dump for unselected lanes
+        tgt = jnp.where(sel_valid, sel, N)
+
+        def scat(base_flat, vals):
+            padded = jnp.concatenate(
+                [base_flat, jnp.zeros((1,), base_flat.dtype)])
+            return padded.at[tgt].set(vals.astype(base_flat.dtype))[:N]
+
+        # all wide seeds default to 0 votes; selected ones get their
+        # narrowed count (non-selected stay 0 and flag their row)
+        cnt_base = jnp.where(wide, 0, cnt12).reshape(-1)
+        cnt = scat(cnt_base, cnt_w).reshape(BP, S)
+        k_seed = scat(k12.reshape(-1), k.astype(k12.dtype)).reshape(BP, S)
+        picked = scat(jnp.zeros((N,), jnp.int32),
+                      sel_valid.astype(jnp.int32)).reshape(BP, S) > 0
+        row_overflow = jnp.any(wide & ~picked, axis=1)
+        return k_seed, cnt, row_overflow
+
+    return lax.cond(jnp.any(wide), do_narrow, no_wide,
+                    (k12, l12, cnt12, qw))
+
+
 def _seed_vote(cfg: MapperConfig, idx: DeviceIndex, codes, lens):
     """All seeding phases in one batched pass; returns (best, overflow)."""
     B, P, S, C = cfg.B, cfg.phases, cfg.max_seeds, cfg.vote_slots
@@ -227,7 +313,18 @@ def _seed_vote(cfg: MapperConfig, idx: DeviceIndex, codes, lens):
     k12 = kl[..., 0].astype(jnp.int32)
     l12 = kl[..., 1].astype(jnp.int32)
     present = ok & seed_ok & ~((k12 == 0) & (l12 == 0))
-    cnt = jnp.where(present, l12 - k12 + 1, 0)         # hlen-mer interval width
+    cnt12 = jnp.where(present, l12 - k12 + 1, 0)       # hlen-mer interval width
+
+    # WIDE-SEED FALLBACK: a repeat-heavy hlen-mer (hits12 >= thres) would
+    # blow the expansion budget and cannot decide informativeness cheaply;
+    # those rare seeds are compacted into `wide_lanes` lanes and LF-narrowed
+    # to their exact seed_len-mer interval, exactly like the reference's
+    # per-seed backward search (lchash.c:103) — but only for the seeds that
+    # need it.  Lanes beyond the budget raise the overflow flag.
+    wide = present & (cnt12 >= cfg.thres)
+    k_seed, cnt, wide_overflow = _narrow_wide_seeds(
+        cfg, idx, wide, k12, l12, cnt12, qw)
+    is_wide = wide                                      # (BP, S)
 
     # compaction: seed-major, interval-rank-minor contiguous slot layout
     cum = jnp.cumsum(cnt, axis=1)
@@ -236,27 +333,33 @@ def _seed_vote(cfg: MapperConfig, idx: DeviceIndex, codes, lens):
     slots = jnp.arange(C, dtype=jnp.int32)[None, None, :]
     owns = (starts[:, :, None] <= slots) & (slots < cum[:, :, None])  # (BP,S,C)
     o32 = owns.astype(jnp.int32)
-    p_rank = jnp.sum(o32 * (k12 - starts)[:, :, None], axis=1) + slots[0]
+    p_rank = jnp.sum(o32 * (k_seed - starts)[:, :, None], axis=1) + slots[0]
     qw_slot = jnp.sum(o32 * qw[:, :, None], axis=1)
+    wide_slot = jnp.sum(o32 * is_wide.astype(jnp.int32)[:, :, None],
+                        axis=1) > 0
     # j+1 so empty slots carry -1 (distinct from any real seed's j)
     j_slot = jnp.sum(o32 * (j_ps + 1)[:, :, None], axis=1) - 1
     valid = j_slot >= 0
 
-    # ONE fused gather per vote: (SA value, packed 16-base left context)
+    # ONE fused gather per vote: (SA value, packed 16-base left context).
+    # Narrowed wide seeds index the seed_len-mer interval directly: their
+    # SA value IS the seed start and needs no verification.
     row = idx.sa_ctx[jnp.clip(p_rank, 0, cfg.n - 1)]   # (BP, C, 2)
     sa12 = row[..., 0]
     if left > 0:
         win = lax.shift_right_logical(
             row[..., 1].astype(jnp.uint32), np.uint32(2 * (16 - left)))
-        verified = valid & (sa12 >= left) & (win == qw_slot.astype(jnp.uint32))
+        verified = valid & (wide_slot | ((sa12 >= left) &
+                            (win == qw_slot.astype(jnp.uint32))))
     else:
         verified = valid
 
     # informative filter on the VERIFIED (seed_len-mer) hit count
-    # (alnmain.c:360: 0 < hits < thres)
+    # (alnmain.c:360: 0 < hits < thres); narrowed wide seeds had the filter
+    # applied at narrowing time (their cnt is already the exact hit count)
     tot20 = _seg_total(j_slot, verified.astype(jnp.int32), C)
     vote_ok = verified & (tot20 < cfg.thres)
-    keys = sa12 - left - j_slot                        # diagonal = SA - j
+    keys = sa12 - jnp.where(wide_slot, 0, left) - j_slot  # diagonal = SA - j
 
     v1, key1, v2 = top2_votes(keys, vote_ok)           # (BP,)
     v1 = v1.reshape(B, P)
@@ -284,7 +387,7 @@ def _seed_vote(cfg: MapperConfig, idx: DeviceIndex, codes, lens):
     # exactly on the last phase -> outer top-1 wins
     need_outer = ~any_acc | (it_star == P - 1)
     best = jnp.where(need_outer, okey1, best_acc)
-    overflow = jnp.any((total > C).reshape(B, P), axis=1)
+    overflow = jnp.any(((total > C) | wide_overflow).reshape(B, P), axis=1)
     return best, overflow
 
 

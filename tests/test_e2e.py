@@ -151,3 +151,62 @@ def test_mapdist_single_process(pipeline, tmp_path, monkeypatch):
     assert (v1, t1) == (v2, t2)
     part = open(prefix + ".part0").read()
     assert part == buf.getvalue()
+
+
+def test_repeat_heavy_seeds_match_oracle(tmp_path):
+    """Seeds whose hlen-mer interval exceeds thres go through the LF-
+    narrowing fallback (pipeline._narrow_wide_seeds); results must still
+    match the oracle exactly, with no overflow flagged."""
+    from longreadmapper_tpu.formats.catmeta import create_meta, load_cat, load_mta
+    from longreadmapper_tpu.index.device import build_device_index
+    from longreadmapper_tpu.index.fmi import FMIndex, encode_bytes
+    from longreadmapper_tpu.index.lchash import lc_build_from_sa
+    from longreadmapper_tpu.index.sa import sa_build
+    from longreadmapper_tpu.models.mapper import TPUMapper
+    from longreadmapper_tpu.oracle.refpipe import OracleMapper
+    from longreadmapper_tpu.utils.config import Params
+    from longreadmapper_tpu.formats.sam import cigar_string
+
+    rng = np.random.default_rng(77)
+    rand = lambda k: "".join("ACGT"[c] for c in rng.integers(0, 4, k))
+    # a 60-mer tandem-repeated 40x floods every k-mer inside it; with
+    # thres=30 those seeds are "wide" (hits >= thres) on the device path
+    motif = rand(60)
+    genome = rand(8000) + motif * 40 + rand(8000)
+    fa = str(tmp_path / "rep.fa")
+    with open(fa, "w") as f:
+        f.write(">rep\n")
+        for i in range(0, len(genome), 70):
+            f.write(genome[i:i + 70] + "\n")
+    params = Params(hlen=6, thres=30, batch_size=64)
+    mta = create_meta(fa, n_seed=0)
+    sa = sa_build(fa + ".cat")
+    fmi = FMIndex.build(fa + ".cat", sa=sa)
+    kl = lc_build_from_sa(fmi.sa, encode_bytes(load_cat(fa + ".cat")), 6)
+    idx, meta = build_device_index(fmi, kl, 6, load_cat(fa + ".cat"),
+                                   load_mta(fa + ".mta"))
+    mapper = TPUMapper(idx, meta, load_mta(fa + ".mta"), params, chunk_b=16)
+    oracle = OracleMapper(fmi, kl, 6, load_cat(fa + ".cat"),
+                          load_mta(fa + ".mta"), params)
+
+    reads = []
+    # reads straddling the repeat boundary + inside unique regions
+    for i, p in enumerate([7900, 7950, 2000, 4000,
+                           8000 + 60 * 40 - 50, 12000]):
+        s = genome[p:p + 200]
+        ch = np.frombuffer(s.encode(), np.uint8).copy()
+        m = rng.random(200) < 0.02
+        ch[m] = np.frombuffer(b"ACGT", np.uint8)[
+            rng.integers(0, 4, int(m.sum()))]
+        reads.append((f"rep{i}", ch.tobytes().decode(), None))
+
+    recs = mapper.map_chunk(reads)
+    assert mapper.overflow_reads == 0
+    for (name, seq, _), rec in zip(reads, recs):
+        o = oracle.map_read(seq)
+        assert rec.valid == o.valid, name
+        assert rec.ed == o.ed, name
+        if o.found:
+            assert rec.off == o.off, name
+        if o.valid:
+            assert rec.cigar == cigar_string(o.cigar), name
