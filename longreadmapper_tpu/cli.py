@@ -103,5 +103,16 @@ def main(argv=None) -> int:
     return 1
 
 
+def accidx_main() -> int:
+    """Drop-in `accidx ref.fa` entry point (asindex.c:129 argv contract)."""
+    return main(["index", *sys.argv[1:]])
+
+
+def accaln_main() -> int:
+    """Drop-in `accaln ref.fa reads.fq [batch seed thres]` entry point
+    (alnmain.c:560-571 argv contract, `params` file fallback included)."""
+    return main(["map", *sys.argv[1:]])
+
+
 if __name__ == "__main__":
     sys.exit(main())
