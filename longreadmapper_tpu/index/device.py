@@ -63,16 +63,34 @@ def _build_sa_ctx(sa: np.ndarray, text_codes: np.ndarray) -> np.ndarray:
     index across chips, BASELINE.json configs 3/5)."""
     n = sa.shape[0]
     assert n < 2**31, "fused sa_ctx requires int32 positions; shard instead"
-    dig = np.where(text_codes < 4, text_codes, 0).astype(np.uint32)
+    from ..ops.rank import pack_codes
+    # window [SA[p]-16, SA[p]) = two adjacent packed words shift-combined
+    # (two gathers + vector shifts instead of 16 byte gathers per row)
+    packed = pack_codes(np.where(text_codes < 4, text_codes, 0)
+                        ).view(np.uint32)
+    packed = np.concatenate([np.zeros(1, np.uint32), packed,
+                             np.zeros(2, np.uint32)])  # +1: word index -1 ok
     out = np.empty((n, 2), dtype=np.int32)
-    shifts = (2 * np.arange(16, dtype=np.uint32))[None, :]
-    chunk = 1 << 20
+    chunk = 1 << 21
     for s in range(0, n, chunk):
-        w = sa[s:s + chunk].astype(np.int64)[:, None] - 16 + np.arange(16)
-        v = np.where(w >= 0, dig[np.maximum(w, 0)], 0).astype(np.uint32)
-        out[s:s + chunk, 0] = sa[s:s + chunk].astype(np.int32)
-        out[s:s + chunk, 1] = np.bitwise_or.reduce(v << shifts, axis=1
-                                                   ).view(np.int32)
+        p = sa[s:s + chunk].astype(np.int64)
+        start = p - 16
+        w0 = (start >> 4) + 1                 # +1 for the zero pad word
+        o = (start & 15).astype(np.uint32)
+        lo = packed[np.maximum(w0, 0)] >> (2 * o)
+        hi_raw = packed[np.maximum(w0, 0) + 1].astype(np.uint64)
+        hi = (hi_raw << (32 - 2 * o)).astype(np.uint64) & 0xFFFFFFFF
+        ctx = (lo | hi.astype(np.uint32))
+        # positions < 0 must pack as 0: for p < 16 only the TOP 2p bits
+        # (text positions 0..p-1) are real — zero the low 2*(16-p) bits
+        short = p < 16
+        if short.any():
+            low = (2 * (16 - p.clip(0, 16))).astype(np.uint64)
+            keep = ((np.uint64(0xFFFFFFFF) << low) & np.uint64(0xFFFFFFFF)
+                    ).astype(np.uint32)
+            ctx = np.where(short, ctx & keep, ctx)
+        out[s:s + chunk, 0] = p.astype(np.int32)
+        out[s:s + chunk, 1] = ctx.view(np.int32)
     return out
 
 
