@@ -51,9 +51,7 @@ import numpy as np
 from jax import lax
 
 from ..index.device import DeviceIndex, IndexMeta
-from ..ops.traceback import device_traceback
 from ..ops.vote import top2_small_histo, top2_votes
-from ..ops.wavefront import banded_nw_dirs
 from ..utils.config import Params
 
 
