@@ -494,15 +494,18 @@ def make_map_step(cfg: MapperConfig):
             return dict(meta=meta, ops=ops_out)
         # compact the run bytes (stable sort by pad flag keeps path order):
         # at most head_cols entries are real for typical reads, so the D2H
-        # link (slow on remote-attached TPUs) ships `ops`; `ops_tail` is
-        # fetched lazily only when some read overflows the head
+        # link (slow on remote-attached TPUs) ships meta + the head FUSED
+        # into one array (the link also pays a round trip PER ARRAY);
+        # `ops_tail` is fetched lazily only when some read overflows the
+        # head
         from ..ops.traceback import traceback_v_iters
         K = traceback_v_iters(L, W) + 4
         is_pad = ((run_bytes & 3) == 3).astype(jnp.int8)
         _, compact = lax.sort((is_pad, run_bytes), dimension=1,
                               is_stable=True, num_keys=1)
         head = min(cfg.ops_head_cols, K)
-        return dict(meta=meta, ops=compact[:, :head],
-                    ops_tail=compact[:, head:K])
+        meta_bytes = lax.bitcast_convert_type(meta, jnp.int8).reshape(B, 32)
+        blob = jnp.concatenate([meta_bytes, compact[:, :head]], axis=1)
+        return dict(blob=blob, ops_tail=compact[:, head:K])
 
     return step

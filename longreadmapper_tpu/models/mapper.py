@@ -195,6 +195,13 @@ class TPUMapper:
         for cfg, reads, lens, out in pending:
             tail = out.pop("ops_tail", None)
             out = jax.device_get(out)
+            if "blob" in out:
+                # short-read path fuses meta (32 bytes/read) + CIGAR head
+                # into one array = one link round trip
+                blob = out.pop("blob")
+                out["meta"] = np.ascontiguousarray(
+                    blob[:, :32]).view(np.int32)
+                out["ops"] = blob[:, 32:]
             if tail is not None and bool((np.asarray(out["ops"][:, -1])
                                           & 3 != 3).any()):
                 out["ops"] = np.concatenate(

@@ -70,13 +70,18 @@ def make_sharded_map_step(cfg: MapperConfig, mesh: Mesh):
 
     def shard_fn(idx, codes, codes_rc, lens, limits):
         out = local_step(idx, codes, codes_rc, lens, limits)
-        ed, found = out["meta"][:, 5], out["meta"][:, 1]
+        if "blob" in out:
+            meta = jax.lax.bitcast_convert_type(
+                out["blob"][:, :32].reshape(-1, 8, 4), jnp.int32)
+            ed, found = meta[:, 5], meta[:, 1]
+        else:
+            ed, found = out["meta"][:, 5], out["meta"][:, 1]
         valid = jnp.sum((ed >= 0) & (found != 0)).astype(jnp.int32)
         valid = jax.lax.psum(valid, "data")
         return out, valid
 
     out_keys = ("meta", "ops") if local_cfg.use_gact \
-        else ("meta", "ops", "ops_tail")
+        else ("blob", "ops_tail")
     sharded = jax.shard_map(
         shard_fn, mesh=mesh,
         in_specs=(P(), P("data"), P("data"), P("data"), P("data")),
