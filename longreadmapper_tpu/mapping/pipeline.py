@@ -63,7 +63,6 @@ class MapperConfig:
     seed_len: int
     gap_len: int
     thres: int
-    hit_cap: int
     hlen: int
     n: int               # .cat length
     dollar_pos: int
@@ -144,7 +143,7 @@ class MapperConfig:
     def from_params(p: Params, meta: IndexMeta, B: int, L: int) -> "MapperConfig":
         return MapperConfig(
             B=B, L=L, seed_len=p.seed_len, gap_len=p.gap_len, thres=p.thres,
-            hit_cap=p.effective_hit_cap(), hlen=meta.hlen, n=meta.n,
+            hlen=meta.hlen, n=meta.n,
             dollar_pos=meta.dollar_pos, accept_score=p.accept_score,
             error_rate=p.error_rate, vote_budget=p.vote_budget)
 

@@ -33,14 +33,10 @@ class Params:
 
     # our flags (divergences documented)
     n_seed: int = 0            # RNG seed for N-replacement (reference: time(NULL))
-    hit_cap: int = 0           # max SA hits expanded per seed; 0 = thres-1 (exact parity)
     vote_budget: int = 128     # compacted vote slots per (read, phase);
                                # the per-read overflow flag reports drops
 
-    def effective_hit_cap(self) -> int:
-        # `rr < thres` is strict (alnmain.c:360) so an informative seed has at
-        # most thres-1 hits; capping there loses nothing.
-        return self.hit_cap if self.hit_cap > 0 else max(self.thres - 1, 1)
+
 
 
 def read_params(path: str = "params") -> Params:
