@@ -86,3 +86,73 @@ def test_contig_boundary_read_unmapped(small_mapper):
     # either unmapped (containment fails) or mapped fully inside one half
     if recs[0].valid:
         assert recs[0].flag in (0, 16)
+
+
+def test_sam_record_structural_validity(small_mapper):
+    """Valid records must be internally consistent: CIGAR consumes exactly
+    len(SEQ) query bases, POS+target-span stays inside the contig, flags
+    legal — the structural invariants a SAM consumer relies on."""
+    import re
+    mapper, cat = small_mapper
+    rng = np.random.default_rng(9)
+    reads = []
+    src = cat[:5000].tobytes().decode()
+    for i in range(8):
+        p = int(rng.integers(0, len(src) - 220))
+        s = src[p:p + 200]
+        ch = np.frombuffer(s.encode(), np.uint8).copy()
+        m = rng.random(200) < 0.03
+        ch[m] = np.frombuffer(b"ACGT", np.uint8)[
+            rng.integers(0, 4, int(m.sum()))]
+        reads.append((f"v{i}", ch.tobytes().decode(), "I" * 200))
+    recs = mapper.map_chunk(reads)
+    contig_len = {m.seq_name: m.seq_len for m in mapper.mta}
+    for rec in recs:
+        line = rec.to_sam().rstrip("\n").split("\t")
+        assert len(line) == 12
+        flag = int(line[1])
+        assert flag in (0, 4, 16)
+        if not rec.valid:
+            assert line[5] == "*"
+            continue
+        ops = re.findall(r"(\d+)([MID])", rec.cigar)
+        assert "".join(f"{c}{o}" for c, o in ops) == rec.cigar
+        qlen = sum(int(c) for c, o in ops if o in "MI")
+        tlen = sum(int(c) for c, o in ops if o in "MD")
+        assert qlen == len(rec.seq)
+        assert rec.off + tlen <= contig_len[rec.rname]
+
+
+def test_many_contigs(tmp_path):
+    """Dozens of contigs: seq_lookup containment and naming stay correct."""
+    from longreadmapper_tpu.formats.catmeta import create_meta, load_cat, load_mta
+    from longreadmapper_tpu.index.device import build_device_index
+    from longreadmapper_tpu.index.fmi import FMIndex, encode_bytes
+    from longreadmapper_tpu.index.lchash import lc_build_from_sa
+    from longreadmapper_tpu.index.sa import sa_build
+    from longreadmapper_tpu.models.mapper import TPUMapper
+    from longreadmapper_tpu.utils.config import Params
+
+    rng = np.random.default_rng(12)
+    contigs = []
+    for i in range(32):
+        contigs.append((f"ctg{i:02d}",
+                        "".join("ACGT"[c] for c in rng.integers(0, 4, 600))))
+    fa = str(tmp_path / "m.fa")
+    write_fasta(fa, contigs)
+    params = Params(hlen=HLEN)
+    mta = create_meta(fa, n_seed=0)
+    sa = sa_build(fa + ".cat")
+    fmi = FMIndex.build(fa + ".cat", sa=sa)
+    kl = lc_build_from_sa(fmi.sa, encode_bytes(load_cat(fa + ".cat")), HLEN)
+    idx, meta = build_device_index(fmi, kl, HLEN, load_cat(fa + ".cat"),
+                                   load_mta(fa + ".mta"))
+    mapper = TPUMapper(idx, meta, load_mta(fa + ".mta"), params, chunk_b=8)
+    # one perfect read from contig 0, 17, 31
+    reads = [(f"q{k}", contigs[k][1][100:280], None) for k in (0, 17, 31)]
+    recs = mapper.map_chunk(reads)
+    for (name, _, _), rec, k in zip(reads, recs, (0, 17, 31)):
+        assert rec.valid, name
+        assert rec.rname == f"ctg{k:02d}"
+        assert rec.off == 100
+        assert rec.ed == 0
