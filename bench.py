@@ -26,11 +26,11 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 import numpy as np
 
 GENOME_MB = 4
-N_READS = 8192
+N_READS = 16384
 READ_LEN = 1000
 ERR = 0.03
 HLEN = 12
-CHUNK_B = 1024
+CHUNK_B = 2048
 
 
 def log(*a):
