@@ -40,8 +40,10 @@ def main(argv=None) -> int:
     ma.add_argument("pos", nargs="*", type=int,
                     help="optional: batch_size seed_len thres "
                          "(else ./params file, else defaults 1000/20/300)")
-    ma.add_argument("--chunk-b", type=int, default=0,
-                    help="reads per device chunk (default: params.chunk_size)")
+    ma.add_argument("--chunk-b", type=int, default=2048,
+                    help="reads per device chunk (default 2048; the "
+                         "reference's CHUNK_SIZE=500 is a CPU-era default "
+                         "— big chunks amortize device-link latency)")
     ma.add_argument("--rg-id", type=int, default=None,
                     help="@RG timestamp id (default: current time, as the "
                          "reference; pass 0 for reproducible output)")
