@@ -21,6 +21,8 @@ from .utils.config import Params, read_params
 
 
 def main(argv=None) -> int:
+    from .utils.env import apply_platform_env
+    apply_platform_env()
     argv = list(sys.argv[1:] if argv is None else argv)
     ap = argparse.ArgumentParser(prog="longreadmapper_tpu")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -62,6 +64,9 @@ def main(argv=None) -> int:
     md.add_argument("--shard-index", action="store_true",
                     help="row-shard the big index tables over a 'model' "
                          "mesh axis instead of replicating")
+    md.add_argument("--model-shards", type=int, default=0,
+                    help="'model' axis size with --shard-index "
+                         "(default: all devices)")
     md.add_argument("--quiet", action="store_true")
 
     args = ap.parse_args(argv)
@@ -99,6 +104,7 @@ def main(argv=None) -> int:
                         out_prefix=args.out_prefix, rg_id=args.rg_id,
                         chunk_b=args.chunk_b,
                         shard_index_tables=args.shard_index,
+                        model_shards=args.model_shards,
                         verbose=not args.quiet)
         return 0
 

@@ -185,30 +185,6 @@ def _by_phase(cfg: MapperConfig, a):
              .reshape(B * cfg.phases, cfg.max_seeds))
 
 
-def _seg_total(seg_id, x, C: int):
-    """Per-slot total of x within contiguous runs of equal seg_id (int32).
-
-    Doubling prefix-sum, then a doubling suffix-max broadcasts each run's
-    inclusive total back to every slot — log2(C) cheap VPU rounds each,
-    sound because runs are contiguous."""
-    B = x.shape[0]
-    s = 1
-    while s < C:
-        xs = jnp.concatenate([jnp.zeros((B, s), x.dtype), x[:, :-s]], axis=1)
-        ss = jnp.concatenate(
-            [jnp.full((B, s), -1, seg_id.dtype), seg_id[:, :-s]], axis=1)
-        x = x + jnp.where(ss == seg_id, xs, 0)
-        s *= 2
-    s = 1
-    while s < C:
-        xs = jnp.concatenate([x[:, s:], jnp.zeros((B, s), x.dtype)], axis=1)
-        ss = jnp.concatenate(
-            [seg_id[:, s:], jnp.full((B, s), -1, seg_id.dtype)], axis=1)
-        x = jnp.maximum(x, jnp.where(ss == seg_id, xs, 0))
-        s *= 2
-    return x
-
-
 def _narrow_wide_seeds(cfg: MapperConfig, idx: DeviceIndex, wide,
                        k12, l12, cnt12, qw):
     """LF-narrow repeat-heavy seeds to their exact seed_len-mer intervals.
@@ -351,11 +327,11 @@ def _seed_vote(cfg: MapperConfig, idx: DeviceIndex, codes, lens):
     else:
         verified = valid
 
-    # informative filter on the VERIFIED (seed_len-mer) hit count
-    # (alnmain.c:360: 0 < hits < thres); narrowed wide seeds had the filter
-    # applied at narrowing time (their cnt is already the exact hit count)
-    tot20 = _seg_total(j_slot, verified.astype(jnp.int32), C)
-    vote_ok = verified & (tot20 < cfg.thres)
+    # informative filter (alnmain.c:360: 0 < hits < thres) is already
+    # implied: non-wide seeds have verified-count <= cnt12 < thres by the
+    # wide cutoff, and narrowed wide seeds were filtered to hits < thres at
+    # narrowing time — so no per-slot recheck is needed here
+    vote_ok = verified
     keys = sa12 - jnp.where(wide_slot, 0, left) - j_slot  # diagonal = SA - j
 
     v1, key1, v2 = top2_votes(keys, vote_ok)           # (BP,)
@@ -384,7 +360,12 @@ def _seed_vote(cfg: MapperConfig, idx: DeviceIndex, codes, lens):
     # exactly on the last phase -> outer top-1 wins
     need_outer = ~any_acc | (it_star == P - 1)
     best = jnp.where(need_outer, okey1, best_acc)
-    overflow = jnp.any(((total > C) | wide_overflow).reshape(B, P), axis=1)
+    # overflow only counts phases the reference's early-exit loop actually
+    # executes (0 .. accepted phase inclusive; all P when none accepted) —
+    # a dropped vote in a never-run later phase cannot affect the mapping
+    executed = pidx <= jnp.where(any_acc, it_star, P - 1)[:, None]
+    per_phase_ovf = ((total > C) | wide_overflow).reshape(B, P)
+    overflow = jnp.any(per_phase_ovf & executed, axis=1)
     return best, overflow
 
 

@@ -106,48 +106,97 @@ def _bucket_len(n: int, minimum: int = 128) -> int:
 class TPUMapper:
     def __init__(self, idx: DeviceIndex, meta: IndexMeta,
                  mta: Sequence[MtaEntry], params: Params,
-                 chunk_b: int = 0):
-        self.idx = idx
+                 chunk_b: int = 0, mesh=None, shard_tables: bool = False):
+        """Single-device mapper, or — when `mesh` is given — ONE logical
+        mapper over the whole ('data', 'model') device mesh: chunks are
+        GLOBAL batches sharded over 'data', the index is replicated per
+        device or (shard_tables) row-sharded over 'model', and the
+        sensitivity counter is a cross-device collective
+        (parallel/dist.make_sharded_map_step).  In multi-process meshes
+        each process packs/assembles only its own row slice."""
+        self.mesh = mesh
+        self.shard_tables = shard_tables
         self.meta = meta
         self.mta = list(mta)
         self.params = params
         self.B = chunk_b or params.chunk_size
+        if mesh is not None:
+            from ..parallel.dist import shard_index
+            n_data = mesh.shape["data"]
+            self.B = -(-self.B // n_data) * n_data
+            self.idx = shard_index(idx, mesh, shard_tables=shard_tables)
+        else:
+            self.idx = idx
         self._steps = {}
         # reads whose per-phase votes exceeded the compaction budget (tail
         # votes dropped — raise Params.vote_budget for exact handling)
         self.overflow_reads = 0
+        # global mapped-read count accumulated from the device-side
+        # collective counter (mesh mode only; single mode counts on host)
+        self.valid_global = 0
 
     def _b_for(self, L: int) -> int:
         """Device batch for a length bucket: scale B down for long reads so
         the DP working set (bands grow with L) stays within HBM."""
         if L <= 1024:
             return self.B
-        return max(8, (self.B * 1024 // L) // 8 * 8)
+        b = max(8, (self.B * 1024 // L) // 8 * 8)
+        if self.mesh is not None:
+            n_data = self.mesh.shape["data"]
+            b = max(n_data, -(-b // n_data) * n_data)
+        return b
+
+    def _local_rows(self, B: int) -> tuple[int, int]:
+        """This process's contiguous row range [lo, hi) of a global
+        (B, ...) batch sharded over the mesh 'data' axis."""
+        if self.mesh is None:
+            return 0, B
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        sh = NamedSharding(self.mesh, P("data"))
+        idx_map = sh.addressable_devices_indices_map((B,))
+        starts = [s[0].start or 0 for s in idx_map.values()]
+        stops = [B if s[0].stop is None else s[0].stop
+                 for s in idx_map.values()]
+        lo, hi = min(starts), max(stops)
+        assert (hi - lo) * len(idx_map) >= B, "non-contiguous local rows"
+        return lo, hi
 
     def _step_for(self, L: int):
         if L not in self._steps:
             cfg = MapperConfig.from_params(self.params, self.meta,
                                            self._b_for(L), L)
-            self._steps[L] = (cfg, make_map_step(cfg))
+            if self.mesh is not None:
+                from ..parallel.dist import make_sharded_map_step
+                step = make_sharded_map_step(cfg, self.mesh,
+                                             shard_tables=self.shard_tables)
+            else:
+                step = make_map_step(cfg)
+            self._steps[L] = (cfg, step)
         return self._steps[L]
 
     def _prepare_chunk(self, reads):
-        """Host-side read packing (pure numpy; safe on a worker thread)."""
+        """Host-side read packing (pure numpy; safe on a worker thread).
+
+        In mesh mode `reads` is the GLOBAL chunk (so every process agrees
+        on the length bucket — an SPMD requirement); each process packs
+        only its own contiguous row slice of each cfg.B-read part."""
         n_real = len(reads)
         assert n_real <= self.B
         max_len = max((len(s) for _, s, _ in reads), default=1)
         L = _bucket_len(max_len)
         cfg, _ = self._step_for(L)
+        row_lo, row_hi = self._local_rows(cfg.B)
+        n_pack = row_hi - row_lo
         from ..formats.fastx import _encode_lut
         lut = _encode_lut()
 
         prepped = []
         for s in range(0, max(n_real, 1), cfg.B):
-            part = reads[s:s + cfg.B]
+            part = reads[s + row_lo:s + row_hi]
             # batch encode: one raw-byte matrix, one LUT pass, one
             # vectorized complement; only the per-read memcpys loop
-            raw = np.zeros((cfg.B, L), dtype=np.uint8)
-            lens = np.zeros(cfg.B, dtype=np.int32)
+            raw = np.zeros((n_pack, L), dtype=np.uint8)
+            lens = np.zeros(n_pack, dtype=np.int32)
             n_part = len(part)
             uniform = n_part > 0 and all(
                 len(s) == len(part[0][1]) for _, s, _ in part)
@@ -166,7 +215,7 @@ class TPUMapper:
             in_read = np.arange(L)[None, :] < lens[:, None]
             codes[~in_read] = 4
             comp = np.where(codes < 4, 3 - codes, codes)[:, ::-1]
-            codes_rc = np.full((cfg.B, L), 4, dtype=np.int8)
+            codes_rc = np.full((n_pack, L), 4, dtype=np.int8)
             if uniform:
                 L0 = len(part[0][1]) if n_part else 0
                 codes_rc[:n_part, :L0] = comp[:n_part, L - L0:]
@@ -187,15 +236,39 @@ class TPUMapper:
         cfg, step = self._step_for(L)
         parts = []
         for part, codes, codes_rc, lens, limits in prepped:
-            dc, drc, dl, dlim = jax.device_put((codes, codes_rc, lens,
-                                                limits))
-            out = step(self.idx, dc, drc, dl, dlim)
+            if self.mesh is None:
+                dc, drc, dl, dlim = jax.device_put((codes, codes_rc, lens,
+                                                    limits))
+                out = step(self.idx, dc, drc, dl, dlim)
+            else:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+                sh = NamedSharding(self.mesh, P("data"))
+                dc, drc, dl, dlim = (
+                    jax.make_array_from_process_local_data(sh, a)
+                    for a in (codes, codes_rc, lens, limits))
+                out, valid = step(self.idx, dc, drc, dl, dlim)
+                out = dict(out, _valid=valid)
             parts.append((cfg, part, lens, out))
         return parts
 
+    @staticmethod
+    def _local_numpy(arr) -> np.ndarray:
+        """This process's rows of a global 'data'-sharded array, in row
+        order (deduped across model-axis replicas)."""
+        if isinstance(arr, np.ndarray):
+            return arr
+        by_start = {}
+        for s in arr.addressable_shards:
+            st = s.index[0].start or 0
+            if st not in by_start:
+                by_start[st] = np.asarray(s.data)
+        return np.concatenate([by_start[k] for k in sorted(by_start)],
+                              axis=0)
+
     def submit_chunk(self, reads: Sequence[Tuple[str, str, Optional[str]]]):
         """Dispatch the device step for up to B reads WITHOUT blocking.
-        Pair with collect_chunk."""
+        Pair with collect_chunk.  In mesh mode `reads` is the global
+        chunk; the returned records cover only this process's row slice."""
         return self._dispatch_chunk(self._prepare_chunk(reads))
 
     def _fetch_chunk(self, pending):
@@ -208,6 +281,9 @@ class TPUMapper:
         import jax
         fetched = []
         for cfg, reads, lens, out in pending:
+            if self.mesh is not None:
+                self.valid_global += int(out.pop("_valid"))
+                out = {k: self._local_numpy(v) for k, v in out.items()}
             tail = out.pop("ops_tail", None)
             out = jax.device_get(out)
             if "blob" in out:

@@ -20,8 +20,8 @@
 
 namespace {
 
-template <typename I>
-void sais_rec(const I* s, I* SA, I n, I K) {
+template <typename TS, typename I>
+void sais_rec(const TS* s, I* SA, I n, I K) {
   // s: values in [0, K); s[n-1] is the unique smallest character (sentinel).
   const I EMPTY = static_cast<I>(-1);
   std::vector<uint8_t> t(n);  // 1 = S-type, 0 = L-type
@@ -93,7 +93,7 @@ void sais_rec(const I* s, I* SA, I n, I K) {
   // Recurse if names are not yet unique.
   I* s1 = SA + n - n1;
   if (name < n1) {
-    sais_rec<I>(s1, SA, n1, name);
+    sais_rec<I, I>(s1, SA, n1, name);
   } else {
     for (I i = 0; i < n1; ++i) SA[s1[i]] = i;
   }
@@ -116,12 +116,16 @@ void sais_rec(const I* s, I* SA, I n, I K) {
 
 template <typename I>
 void sais_bytes(const uint8_t* text, int64_t n, int64_t* sa_out) {
-  // Append an explicit sentinel (rank 0); shift byte values by +1.
-  std::vector<I> s(n + 1);
-  for (int64_t i = 0; i < n; ++i) s[i] = static_cast<I>(text[i]) + 1;
+  // Append an explicit sentinel (rank 0); shift byte values by +1.  The
+  // shifted text is held as uint16 (258 symbols), not I: at genome scale
+  // (n > 2^31, I = int64) an I-typed copy alone would cost 8n bytes —
+  // 40 GB for an hg19-class .cat — vs 2n here.
+  std::vector<uint16_t> s(n + 1);
+  for (int64_t i = 0; i < n; ++i) s[i] = static_cast<uint16_t>(text[i]) + 1;
   s[n] = 0;
   std::vector<I> SA(n + 1);
-  sais_rec<I>(s.data(), SA.data(), static_cast<I>(n + 1), static_cast<I>(257));
+  sais_rec<uint16_t, I>(s.data(), SA.data(), static_cast<I>(n + 1),
+                        static_cast<I>(257));
   // SA[0] is the sentinel suffix; drop it.
   for (int64_t i = 0; i < n; ++i) sa_out[i] = static_cast<int64_t>(SA[i + 1]);
 }

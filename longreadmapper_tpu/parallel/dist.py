@@ -56,28 +56,65 @@ def shard_index(idx: DeviceIndex, mesh: Mesh, shard_tables: bool = False
     )
 
 
-def make_sharded_map_step(cfg: MapperConfig, mesh: Mesh):
+def _valid_count(out, lens):
+    """Mapped-read count for the sensitivity metric (alnmain.c:541).
+
+    Pad rows (lens == 0) never count: a zero-length read trivially
+    'aligns' with ed 0, so the global psum'd counter must mask them."""
+    if "blob" in out:
+        meta = jax.lax.bitcast_convert_type(
+            out["blob"][:, :32].reshape(-1, 8, 4), jnp.int32)
+        ed, found = meta[:, 5], meta[:, 1]
+    else:
+        ed, found = out["meta"][:, 5], out["meta"][:, 1]
+    return jnp.sum((ed >= 0) & (found != 0) & (lens > 0)).astype(jnp.int32)
+
+
+def make_sharded_map_step(cfg: MapperConfig, mesh: Mesh,
+                          shard_tables: bool = False):
     """Data-parallel mapping step over `mesh`'s 'data' axis.
 
-    cfg.B is the GLOBAL batch; each shard runs the single-chip step on
-    B / n_data reads.  Returns step(idx, codes, lens) -> (out dict, valid_count)
-    where `valid_count` is psum'd across the data axis.
+    cfg.B is the GLOBAL batch.  Returns step(idx, codes, codes_rc, lens,
+    limits) -> (out dict, valid_count) where `valid_count` is the GLOBAL
+    mapped-read count (a real cross-device collective, replicated to every
+    process).
+
+    Two lowerings, matching how the index was placed by `shard_index`:
+
+      shard_tables=False — shard_map over 'data': each shard runs the
+        single-chip step on B / n_data reads against its replicated index
+        copy; the valid counter is psum'd over the data axis.
+      shard_tables=True — GSPMD: the single-chip program runs on the
+        GLOBAL batch with the big gather tables row-sharded over 'model';
+        XLA partitions the gathers into per-shard lookups + collectives
+        (the index never needs to fit on one chip).  The valid counter is
+        a global sum (XLA inserts the reduction collective).
     """
     n_data = mesh.shape["data"]
     assert cfg.B % n_data == 0, (cfg.B, n_data)
+
+    if shard_tables:
+        inner = make_map_step(cfg)
+        data_sh = NamedSharding(mesh, P("data"))
+
+        @jax.jit
+        def gspmd_step(idx, codes, codes_rc, lens, limits):
+            codes = jax.lax.with_sharding_constraint(codes, data_sh)
+            codes_rc = jax.lax.with_sharding_constraint(codes_rc, data_sh)
+            lens = jax.lax.with_sharding_constraint(lens, data_sh)
+            out = inner(idx, codes, codes_rc, lens, limits)
+            out = {k: jax.lax.with_sharding_constraint(v, data_sh)
+                   for k, v in out.items()}
+            return out, _valid_count(out, lens)
+
+        return gspmd_step
+
     local_cfg = replace(cfg, B=cfg.B // n_data)
     local_step = make_map_step(local_cfg)
 
     def shard_fn(idx, codes, codes_rc, lens, limits):
         out = local_step(idx, codes, codes_rc, lens, limits)
-        if "blob" in out:
-            meta = jax.lax.bitcast_convert_type(
-                out["blob"][:, :32].reshape(-1, 8, 4), jnp.int32)
-            ed, found = meta[:, 5], meta[:, 1]
-        else:
-            ed, found = out["meta"][:, 5], out["meta"][:, 1]
-        valid = jnp.sum((ed >= 0) & (found != 0)).astype(jnp.int32)
-        valid = jax.lax.psum(valid, "data")
+        valid = jax.lax.psum(_valid_count(out, lens), "data")
         return out, valid
 
     out_keys = ("meta", "ops") if local_cfg.use_gact \

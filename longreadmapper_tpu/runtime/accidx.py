@@ -14,11 +14,19 @@ import numpy as np
 from ..formats.catmeta import create_meta, load_cat
 from ..formats.lch import write_lch
 from ..index.device import build_device_index
-from ..index.fmi import FMIndex
-from ..index.lchash import lc_build_device, lc_build_host
+from ..index.fmi import FMIndex, encode_bytes
+from ..index.lchash import lc_build_device, lc_build_from_sa
 from ..index.sa import sa_build
 from ..utils.config import Params
 from ..utils.log import new_logger
+
+
+def _accelerator_present() -> bool:
+    try:
+        import jax
+        return jax.default_backend() not in ("cpu",)
+    except Exception:
+        return False
 
 
 def build_index(fasta_path: str, params: Params | None = None,
@@ -41,7 +49,11 @@ def build_index(fasta_path: str, params: Params | None = None,
     log.vlog("fmi_build done in %.2fs", log.elapse(t0))
 
     t0 = log.vlog("lc_build: %d k-mers (hlen=%d)", 1 << (2 * p.hlen), p.hlen)
-    if use_device:
+    # The SA-derived host build is O(n*hlen) with no FM searches and no
+    # compiles — byte-identical to the reference's 4^hlen serial backward
+    # searches (tests/test_index.py) and the right default everywhere.  The
+    # batched device scan only pays off on a real accelerator.
+    if use_device and _accelerator_present():
         try:
             cat = load_cat(prefix)
             idx, meta = build_device_index(
@@ -50,8 +62,9 @@ def build_index(fasta_path: str, params: Params | None = None,
                                  meta.dollar_pos, meta.n, p.hlen)
         except Exception as e:  # no accelerator / OOM -> host build
             log.elog("device lc_build failed (%s); falling back to host", e)
-            kl = lc_build_host(fmi, p.hlen)
+            kl = lc_build_from_sa(fmi.sa, encode_bytes(load_cat(prefix)),
+                                  p.hlen)
     else:
-        kl = lc_build_host(fmi, p.hlen)
+        kl = lc_build_from_sa(fmi.sa, encode_bytes(load_cat(prefix)), p.hlen)
     write_lch(prefix + ".lch", p.hlen, kl)
     log.vlog("lc_build done in %.2fs", log.elapse(t0))

@@ -22,8 +22,8 @@ from longreadmapper_tpu.index.lchash import lc_build_from_sa
 from longreadmapper_tpu.index.sa import sa_build
 from longreadmapper_tpu.mapping.pipeline import (MapperConfig, _seed_vote,
                                                  make_map_step)
-from longreadmapper_tpu.ops.traceback import device_traceback
-from longreadmapper_tpu.ops.wavefront import banded_nw_dirs
+from longreadmapper_tpu.ops.traceback import device_traceback_v
+from longreadmapper_tpu.ops.wavefront import banded_nw_dirs_v
 from longreadmapper_tpu.utils.config import Params
 
 GENOME_MB = int(os.environ.get("GMB", 4))
@@ -85,26 +85,33 @@ def main():
         codes[i, :RL] = encode_seq(ch.tobytes().decode())
         lens[i] = RL
     limits = ((params.error_rate * lens.astype(np.float64)) * 2).astype(np.int32)
-    codes, lens, limits = jnp.asarray(codes), jnp.asarray(lens), jnp.asarray(limits)
+    comp_codes = np.where(codes < 4, 3 - codes, codes)[:, ::-1]
+    codes_rc = np.full((B, L), 4, dtype=np.int8)
+    for i in range(B):
+        n_i = int(lens[i])
+        codes_rc[i, :n_i] = comp_codes[i, L - n_i:]
+    codes, codes_rc, lens, limits = map(
+        jnp.asarray, (codes, codes_rc, lens, limits))
 
     step = make_map_step(cfg)
-    t_full = timeit(lambda: step(idx, codes, lens, limits))
+    t_full = timeit(lambda: step(idx, codes, codes_rc, lens, limits))
     print(f"full step: {t_full*1e3:.1f} ms -> {B/t_full:.0f} reads/s", flush=True)
 
     sv = jax.jit(lambda: _seed_vote(cfg, idx, codes, lens))
     t_sv = timeit(sv)
     print(f"seed+vote: {t_sv*1e3:.1f} ms", flush=True)
 
-    # align-only on dummy targets
+    # align-only on dummy targets (the production short-read path:
+    # vertically-packed direction words + run-consuming walk)
     t_arr = idx.text[jnp.clip(jnp.arange(L)[None, :] + jnp.zeros((B, 1), jnp.int32), 0, meta.n - 1)]
     t_arr = jnp.where(t_arr >= 4, jnp.int8(5), t_arr)
-    aln = jax.jit(lambda: banded_nw_dirs(codes, t_arr, cfg.W, cfg.band))
+    aln = jax.jit(lambda: banded_nw_dirs_v(codes, t_arr, cfg.W, cfg.band))
     t_al = timeit(aln)
     cells = B * L * cfg.band
-    print(f"align (banded_nw_dirs): {t_al*1e3:.1f} ms -> {cells/t_al/1e9:.1f} Gcells/s", flush=True)
+    print(f"align (banded_nw_dirs_v): {t_al*1e3:.1f} ms -> {cells/t_al/1e9:.1f} Gcells/s", flush=True)
 
-    dirs, _ = aln()
-    tb = jax.jit(lambda: device_traceback(dirs, lens, L, cfg.W))
+    vdirs, _ = aln()
+    tb = jax.jit(lambda: device_traceback_v(vdirs, lens, L, cfg.W))
     t_tb = timeit(tb)
     print(f"traceback: {t_tb*1e3:.1f} ms", flush=True)
 
