@@ -82,16 +82,26 @@ class FMIndex:
         # O table: exclusive sampled counts. Divergence (documented in
         # formats/mfi.py): entries past the last sample index hold continued
         # counts instead of the reference's uninitialized malloc bytes.
-        codes = _CODE_LUT[bwt]
-        one_hot = np.zeros((n, 4), dtype=np.uint64)
-        valid = codes < 4
-        one_hot[np.nonzero(valid)[0], codes[valid]] = 1
-        csum = np.cumsum(one_hot, axis=0)  # inclusive
+        # Chunked: a full (n, 4) one-hot + cumsum costs 64n bytes of
+        # transients — 400 GB at hg19 scale.
         n_samples = n // o_ratio + 1
         o = np.zeros((n_samples, 4), dtype=np.uint64)
-        sample_pos = np.arange(1, n_samples) * o_ratio  # exclusive count at pos r*i
-        sample_pos = np.minimum(sample_pos, n)
-        o[1:] = csum[sample_pos - 1]
+        running = np.zeros(4, dtype=np.uint64)
+        chunk_samples = max(1, (1 << 26) // o_ratio)
+        for ss in range(1, n_samples, chunk_samples):
+            se = min(ss + chunk_samples, n_samples)
+            lo, hi = (ss - 1) * o_ratio, min((se - 1) * o_ratio, n)
+            codes_c = _CODE_LUT[bwt[lo:hi]]
+            m = hi - lo
+            oh = np.zeros((m, 4), dtype=np.uint64)
+            valid = codes_c < 4
+            oh[np.nonzero(valid)[0], codes_c[valid]] = 1
+            csum = np.cumsum(oh, axis=0)
+            # exclusive count at position (ss-1+j)*o_ratio = running + csum
+            # within this chunk at local offset j*o_ratio - 1
+            sample_pos = np.minimum(np.arange(ss, se) * o_ratio, n) - lo
+            o[ss:se] = running + csum[sample_pos - 1]
+            running += csum[m - 1]
         o = o.reshape(-1)
 
         # CSA: SA sampled every csa_ratio (fmidx.c:153-163). The reference's

@@ -68,6 +68,7 @@ class MapperConfig:
     dollar_pos: int
     accept_score: float
     error_rate: float
+    pos64: bool = False  # 40-bit split-hi positions (n >= 2^31 genomes)
 
     @property
     def phases(self) -> int:
@@ -139,13 +140,20 @@ class MapperConfig:
     def band(self) -> int:
         return -(-(2 * self.W + 1) // 128) * 128
 
+    @property
+    def meta_words(self) -> int:
+        """int32 columns in the per-read meta row: positions (best, off)
+        ship as [lo, hi] int32 pairs on the pos64 path."""
+        return 10 if self.pos64 else 8
+
     @staticmethod
     def from_params(p: Params, meta: IndexMeta, B: int, L: int) -> "MapperConfig":
         return MapperConfig(
             B=B, L=L, seed_len=p.seed_len, gap_len=p.gap_len, thres=p.thres,
             hlen=meta.hlen, n=meta.n,
             dollar_pos=meta.dollar_pos, accept_score=p.accept_score,
-            error_rate=p.error_rate, vote_budget=p.vote_budget)
+            error_rate=p.error_rate, vote_budget=p.vote_budget,
+            pos64=meta.pos_dtype == "int64")
 
 
 def _position_tables(cfg: MapperConfig, codes):
@@ -263,6 +271,12 @@ def _narrow_wide_seeds(cfg: MapperConfig, idx: DeviceIndex, wide,
                     (k12, l12, cnt12, qw))
 
 
+def _join_hi(lo, hi):
+    """(int32 low word, uint8 high byte) -> int64 position."""
+    return ((hi.astype(jnp.int64) << 32)
+            | lo.astype(jnp.uint32).astype(jnp.int64))
+
+
 def _seed_vote(cfg: MapperConfig, idx: DeviceIndex, codes, lens):
     """All seeding phases in one batched pass; returns (best, overflow)."""
     B, P, S, C = cfg.B, cfg.phases, cfg.max_seeds, cfg.vote_slots
@@ -281,12 +295,24 @@ def _seed_vote(cfg: MapperConfig, idx: DeviceIndex, codes, lens):
     lens_bp = jnp.repeat(lens.astype(jnp.int32), P)    # (BP,)
     seed_ok = j_ps < (lens_bp[:, None] - cfg.seed_len)
 
-    # lc_access (lchash.c:12-16): one row gather; (0,0) rows = absent k-mer
-    kl = idx.lch[jnp.clip(num, 0, idx.lch.shape[0] - 1)]
-    k12 = kl[..., 0].astype(jnp.int32)
-    l12 = kl[..., 1].astype(jnp.int32)
+    # lc_access (lchash.c:12-16): one row gather; (0,0) rows = absent k-mer.
+    # pos64: (k, l) ride as int32 low words + uint8 high bytes (no int64
+    # gathers — measured 3x slower per row than int32 on v5e).
+    safe_num = jnp.clip(num, 0, idx.lch.shape[0] - 1)
+    kl = idx.lch[safe_num]
+    if cfg.pos64:
+        klh = idx.lch_hi[safe_num]
+        k12 = _join_hi(kl[..., 0], klh[..., 0])
+        l12 = _join_hi(kl[..., 1], klh[..., 1])
+    else:
+        k12 = kl[..., 0].astype(jnp.int32)
+        l12 = kl[..., 1].astype(jnp.int32)
     present = ok & seed_ok & ~((k12 == 0) & (l12 == 0))
-    cnt12 = jnp.where(present, l12 - k12 + 1, 0)       # hlen-mer interval width
+    # hlen-mer interval width; clamped to thres so the count lanes stay
+    # int32 (every >= thres seed is wide and never expands directly)
+    cnt12 = jnp.where(present,
+                      jnp.minimum(l12 - k12 + 1, cfg.thres), 0
+                      ).astype(jnp.int32)
 
     # WIDE-SEED FALLBACK: a repeat-heavy hlen-mer (hits12 >= thres) would
     # blow the expansion budget and cannot decide informativeness cheaply;
@@ -317,8 +343,12 @@ def _seed_vote(cfg: MapperConfig, idx: DeviceIndex, codes, lens):
     # ONE fused gather per vote: (SA value, packed 16-base left context).
     # Narrowed wide seeds index the seed_len-mer interval directly: their
     # SA value IS the seed start and needs no verification.
-    row = idx.sa_ctx[jnp.clip(p_rank, 0, cfg.n - 1)]   # (BP, C, 2)
-    sa12 = row[..., 0]
+    p_safe = jnp.clip(p_rank, 0, cfg.n - 1)
+    row = idx.sa_ctx[p_safe]                           # (BP, C, 2)
+    if cfg.pos64:
+        sa12 = _join_hi(row[..., 0], idx.sa_hi[p_safe])
+    else:
+        sa12 = row[..., 0]
     if left > 0:
         win = lax.shift_right_logical(
             row[..., 1].astype(jnp.uint32), np.uint32(2 * (16 - left)))
@@ -456,11 +486,21 @@ def make_map_step(cfg: MapperConfig):
         # Host-link layout: remote-attached TPUs pay per-array round trips
         # and ~MB/s-scale D2H, so everything leaves the device as exactly
         # two dense arrays — per-read scalars stacked into `meta` and the
-        # op string packed 2 bits/op (codes 0=M 1=I 2=D 3=pad).
-        meta = jnp.stack([best.astype(jnp.int32), found.astype(jnp.int32),
-                          gi, strand.astype(jnp.int32),
-                          off.astype(jnp.int32), ed, limit,
-                          overflow.astype(jnp.int32)], axis=1)
+        # op string packed 2 bits/op (codes 0=M 1=I 2=D 3=pad).  pos64
+        # rows carry best/off as little-endian [lo, hi] int32 pairs.
+        if cfg.pos64:
+            b2 = lax.bitcast_convert_type(best, jnp.int32)
+            o2 = lax.bitcast_convert_type(off.astype(jnp.int64), jnp.int32)
+            meta = jnp.stack([b2[:, 0], b2[:, 1], found.astype(jnp.int32),
+                              gi, strand.astype(jnp.int32),
+                              o2[:, 0], o2[:, 1], ed, limit,
+                              overflow.astype(jnp.int32)], axis=1)
+        else:
+            meta = jnp.stack([best.astype(jnp.int32),
+                              found.astype(jnp.int32),
+                              gi, strand.astype(jnp.int32),
+                              off.astype(jnp.int32), ed, limit,
+                              overflow.astype(jnp.int32)], axis=1)
         if cfg.use_gact:
             Lw = ops.shape[1]
             pad = (-Lw) % 16
@@ -484,7 +524,8 @@ def make_map_step(cfg: MapperConfig):
         _, compact = lax.sort((is_pad, run_bytes), dimension=1,
                               is_stable=True, num_keys=1)
         head = min(cfg.ops_head_cols, K)
-        meta_bytes = lax.bitcast_convert_type(meta, jnp.int8).reshape(B, 32)
+        meta_bytes = lax.bitcast_convert_type(meta, jnp.int8).reshape(
+            B, 4 * cfg.meta_words)
         blob = jnp.concatenate([meta_bytes, compact[:, :head]], axis=1)
         return dict(blob=blob, ops_tail=compact[:, head:K])
 

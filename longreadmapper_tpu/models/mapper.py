@@ -287,12 +287,13 @@ class TPUMapper:
             tail = out.pop("ops_tail", None)
             out = jax.device_get(out)
             if "blob" in out:
-                # short-read path fuses meta (32 bytes/read) + CIGAR head
-                # into one array = one link round trip
+                # short-read path fuses meta (8 or 10 int32 words/read) +
+                # CIGAR head into one array = one link round trip
+                mb = 4 * cfg.meta_words
                 blob = out.pop("blob")
                 out["meta"] = np.ascontiguousarray(
-                    blob[:, :32]).view(np.int32)
-                out["ops"] = blob[:, 32:]
+                    blob[:, :mb]).view(np.int32)
+                out["ops"] = blob[:, mb:]
             if tail is not None and bool((np.asarray(out["ops"][:, -1])
                                           & 3 != 3).any()):
                 out["ops"] = np.concatenate(
@@ -303,7 +304,8 @@ class TPUMapper:
     def _assemble_chunk(self, fetched) -> List[MapRecord]:
         recs: List[MapRecord] = []
         for cfg, reads, lens, out in fetched:
-            self.overflow_reads += int(out["meta"][:len(reads), 7].sum())
+            self.overflow_reads += int(
+                out["meta"][:len(reads), cfg.meta_words - 1].sum())
             recs.extend(self._postprocess(cfg, reads, lens, out))
         return recs
 
@@ -353,11 +355,21 @@ class TPUMapper:
 
     def _postprocess(self, cfg: MapperConfig, reads, lens, out) -> List[MapRecord]:
         meta = np.asarray(out["meta"])
-        found = meta[:, 1] != 0
-        gi = meta[:, 2]
-        strand = meta[:, 3] != 0
-        off = meta[:, 4]
-        ed = meta[:, 5]
+        if cfg.pos64:
+            # row: [best_lo, best_hi, found, gi, strand, off_lo, off_hi,
+            #       ed, limit, overflow] — positions as LE int32 pairs
+            found = meta[:, 2] != 0
+            gi = meta[:, 3]
+            strand = meta[:, 4] != 0
+            off = (meta[:, 6].astype(np.int64) << 32) \
+                | meta[:, 5].astype(np.uint32).astype(np.int64)
+            ed = meta[:, 7]
+        else:
+            found = meta[:, 1] != 0
+            gi = meta[:, 2]
+            strand = meta[:, 3] != 0
+            off = meta[:, 4]
+            ed = meta[:, 5]
         if cfg.use_gact:
             packed = np.asarray(out["ops"])
             shifts = (2 * np.arange(16, dtype=np.int32))[None, None, :]

@@ -73,8 +73,8 @@ def banded_sw_affine(q, t, W: int, band: int, match: int = 2,
 
     def step(carry, i):
         hprev, fprev, sc, bi, bj = carry
-        tw = lax.dynamic_slice(tpad, (0, i), (B, band)).astype(dt)
-        qc = lax.dynamic_slice(q, (0, i - 1), (B, 1)).astype(dt)
+        tw = lax.dynamic_slice(tpad, (jnp.int32(0), i), (B, band)).astype(dt)
+        qc = lax.dynamic_slice(q, (jnp.int32(0), i - 1), (B, 1)).astype(dt)
         both_acgt = (qc < 4) & (tw < 4)
         sub = jnp.where(both_acgt,
                         jnp.where(qc == tw, match, mismatch), 0)
@@ -103,7 +103,7 @@ def banded_sw_affine(q, t, W: int, band: int, match: int = 2,
 
     zb = jnp.zeros((B,), dt) + q[:, 0].astype(dt) * 0
     carry0 = (hrow0, frow0, zb, zb, zb)
-    (_, _, sc, bi, bj), _ = lax.scan(step, carry0, jnp.arange(1, L + 1))
+    (_, _, sc, bi, bj), _ = lax.scan(step, carry0, jnp.arange(1, L + 1, dtype=jnp.int32))
     none = sc <= 0
     z = jnp.zeros_like(sc)
     return (jnp.where(none, z, sc), jnp.where(none, z, bi),

@@ -52,8 +52,8 @@ def _dp_row_step(q, tpad, L: int, W: int, band: int, with_dirs: bool):
     shifts = (2 * jnp.arange(16, dtype=dt))[None, None, :]
 
     def step(hprev, i):
-        tw = lax.dynamic_slice(tpad, (0, i), (B, band)).astype(dt)
-        qc = lax.dynamic_slice(q, (0, i - 1), (B, 1)).astype(dt)
+        tw = lax.dynamic_slice(tpad, (jnp.int32(0), i), (B, band)).astype(dt)
+        qc = lax.dynamic_slice(q, (jnp.int32(0), i - 1), (B, 1)).astype(dt)
         sub = (qc != tw).astype(dt)
         up = jnp.concatenate([hprev[:, 1:], jnp.full((B, 1), INF, dt)],
                              axis=1)
@@ -92,11 +92,11 @@ def gact_forward(q, t, T: int, W: int, band: int):
     def tile(h, k):
         def inner(hc, r):
             return row_step(hc, k * T + 1 + r)
-        h2, wc = lax.scan(inner, h, jnp.arange(T))
+        h2, wc = lax.scan(inner, h, jnp.arange(T, dtype=jnp.int32))
         return h2, (h, wc)                    # emit ENTRY row + tile wcol
 
     h0 = _row0(B, L, W, band, q, dt)
-    hK, (ckpt, wcols) = lax.scan(tile, h0, jnp.arange(K))
+    hK, (ckpt, wcols) = lax.scan(tile, h0, jnp.arange(K, dtype=jnp.int32))
     ckpt = jnp.concatenate([ckpt, hK[None]], axis=0)     # (K+1, B, band)
     wcol = jnp.concatenate([h0[:, W].astype(jnp.int16)[None],
                             wcols.reshape(L, B)], axis=0)
@@ -126,7 +126,7 @@ def gact_traceback(q, t, ckpt, lens, T: int, W: int, band: int):
         # recompute this tile's packed dirs from its checkpoint row
         def inner(hc, r):
             return row_step(hc, k * T + 1 + r)
-        _, dirs = lax.scan(inner, ckpt[k], jnp.arange(T))   # (T, B, nw)
+        _, dirs = lax.scan(inner, ckpt[k], jnp.arange(T, dtype=jnp.int32))   # (T, B, nw)
         Df = dirs.reshape(-1)
         lo = k * T
 
@@ -154,5 +154,5 @@ def gact_traceback(q, t, ckpt, lens, T: int, W: int, band: int):
         return (i, j, done), jnp.transpose(ops)        # (B, steps)
 
     carry0 = (lens32, lens32, lens32 <= 0)
-    _, tiles = lax.scan(tile, carry0, jnp.arange(K))    # (K, B, steps)
+    _, tiles = lax.scan(tile, carry0, jnp.arange(K, dtype=jnp.int32))    # (K, B, steps)
     return jnp.transpose(tiles, (1, 0, 2)).reshape(B, K * steps)

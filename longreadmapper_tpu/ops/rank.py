@@ -32,30 +32,52 @@ def pack_codes(codes: np.ndarray) -> np.ndarray:
     Code at text position p lives in word p>>4 at bit offset 2*(p&15).
     Values >= 4 (the '$') must be remapped by the caller before packing.
     """
-    codes = np.asarray(codes, dtype=np.uint32)
+    codes = np.asarray(codes)
     assert codes.max(initial=0) < 4
     n = codes.shape[0]
     nw = (n + 15) // 16
-    padded = np.zeros(nw * 16, dtype=np.uint32)
-    padded[:n] = codes
-    padded = padded.reshape(nw, 16)
+    words = np.empty(nw, dtype=np.uint32)
     shifts = (2 * np.arange(16, dtype=np.uint32))[None, :]
-    words = np.bitwise_or.reduce(padded << shifts, axis=1)
+    chunk_words = 1 << 24                      # chunked: 4n-byte transients
+    for ws in range(0, nw, chunk_words):       # would be 25 GB at hg19 scale
+        we = min(ws + chunk_words, nw)
+        padded = np.zeros((we - ws) * 16, dtype=np.uint32)
+        c = codes[ws * 16:min(we * 16, n)]
+        padded[:c.shape[0]] = c
+        words[ws:we] = np.bitwise_or.reduce(
+            padded.reshape(-1, 16) << shifts, axis=1)
     return words.view(np.int32)
 
 
-def occ_samples(codes: np.ndarray, dollar_pos: int, dtype=np.int32) -> np.ndarray:
-    """(nw+1, 4) exclusive per-word base counts; the '$' position not counted."""
+def occ_samples(codes: np.ndarray, dollar_pos: int,
+                dtype=None) -> np.ndarray:
+    """(nw+1, 4) exclusive per-word base counts; the '$' position not counted.
+
+    Chunked (a one-hot over all n positions would cost 32n bytes — 200 GB
+    at hg19 scale).  Samples stay int32 whenever every per-base total fits
+    (true for any real genome: the worst base of hg19's ~6.2e9-byte .cat
+    counts ~1.9e9 < 2^31); pathological single-letter texts get int64."""
     codes = np.asarray(codes)
     n = codes.shape[0]
     nw = (n + 15) // 16
-    oh = np.zeros((nw * 16, 4), dtype=np.int64)
-    pos = np.arange(n)
-    valid = (codes < 4) & (pos != dollar_pos)
-    oh[pos[valid], codes[valid]] = 1
-    per_word = oh.reshape(nw, 16, 4).sum(axis=1)
+    per_word = np.zeros((nw, 4), dtype=np.int64)
+    chunk_words = 1 << 22                      # 64 Mbase per pass
+    for ws in range(0, nw, chunk_words):
+        we = min(ws + chunk_words, nw)
+        c = codes[ws * 16:we * 16]
+        m = c.shape[0]
+        oh = np.zeros(((we - ws) * 16, 4), dtype=np.int8)
+        pos = np.arange(m)
+        valid = c < 4
+        oh[pos[valid], c[valid]] = 1
+        per_word[ws:we] = oh.reshape(we - ws, 16, 4).sum(
+            axis=1, dtype=np.int64)
+    if codes[dollar_pos] < 4:
+        per_word[dollar_pos >> 4, codes[dollar_pos]] -= 1
     out = np.zeros((nw + 1, 4), dtype=np.int64)
     np.cumsum(per_word, axis=0, out=out[1:])
+    if dtype is None:
+        dtype = np.int32 if out[-1].max(initial=0) < 2**31 else np.int64
     return out.astype(dtype)
 
 

@@ -129,7 +129,8 @@ def device_traceback_v(vdirs, lens, L: int, W: int):
     def body(state):
         it, carry, buf = state
         carry2, out = step(carry)
-        buf = lax.dynamic_update_slice(buf, out[None], (it, 0, 0))
+        buf = lax.dynamic_update_slice(buf, out[None],
+                               (it, jnp.int32(0), jnp.int32(0)))
         return it + 1, carry2, buf
 
     # derive the buffer from `lens` so the while carry has a consistent

@@ -73,8 +73,8 @@ def banded_nw_scores(q, t, W: int, band: int):
                    constant_values=5)
 
     def step(hprev, i):
-        tw = lax.dynamic_slice(tpad, (0, i), (B, band)).astype(dt)
-        qc = lax.dynamic_slice(q, (0, i - 1), (B, 1)).astype(dt)
+        tw = lax.dynamic_slice(tpad, (jnp.int32(0), i), (B, band)).astype(dt)
+        qc = lax.dynamic_slice(q, (jnp.int32(0), i - 1), (B, 1)).astype(dt)
         sub = (qc != tw).astype(dt)
         up = jnp.concatenate(
             [hprev[:, 1:], jnp.full((B, 1), INF, dt)], axis=1)
@@ -86,7 +86,7 @@ def banded_nw_scores(q, t, W: int, band: int):
         row = jnp.minimum(row, INF)
         return row, row.astype(jnp.int16)
 
-    _, rows = lax.scan(step, row0, jnp.arange(1, L + 1))
+    _, rows = lax.scan(step, row0, jnp.arange(1, L + 1, dtype=jnp.int32))
     return jnp.concatenate([row0.astype(jnp.int16)[None], rows], axis=0)
 
 
@@ -130,8 +130,8 @@ def banded_nw_dirs(q, t, W: int, band: int):
                        axis=-1).astype(jnp.int32)
 
     def step(hprev, i):
-        tw = lax.dynamic_slice(tpad, (0, i), (B, band)).astype(dt)
-        qc = lax.dynamic_slice(q, (0, i - 1), (B, 1)).astype(dt)
+        tw = lax.dynamic_slice(tpad, (jnp.int32(0), i), (B, band)).astype(dt)
+        qc = lax.dynamic_slice(q, (jnp.int32(0), i - 1), (B, 1)).astype(dt)
         sub = (qc != tw).astype(dt)
         up = jnp.concatenate(
             [hprev[:, 1:], jnp.full((B, 1), INF, dt)], axis=1)
@@ -144,7 +144,7 @@ def banded_nw_dirs(q, t, W: int, band: int):
         dirs = jnp.where(diag_ok, 0, jnp.where(up_ok, 1, 2))
         return row, (pack(dirs), row[:, W].astype(jnp.int16))
 
-    _, (dirs, wcol) = lax.scan(step, row0, jnp.arange(1, L + 1))
+    _, (dirs, wcol) = lax.scan(step, row0, jnp.arange(1, L + 1, dtype=jnp.int32))
     dirs0 = pack(jnp.full((B, band), 2, dt))[None]   # row 0: all D (left)
     wcol0 = row0[:, W].astype(jnp.int16)[None]
     return (jnp.concatenate([dirs0, dirs], axis=0),
@@ -179,8 +179,8 @@ def banded_nw_dirs_v(q, t, W: int, band: int):
         wcols = []
         for r in range(16):
             i = g * 16 + 1 + r
-            tw = lax.dynamic_slice(tpad, (0, i), (B, band)).astype(dt)
-            qc = lax.dynamic_slice(q, (0, i - 1), (B, 1)).astype(dt)
+            tw = lax.dynamic_slice(tpad, (jnp.int32(0), i), (B, band)).astype(dt)
+            qc = lax.dynamic_slice(q, (jnp.int32(0), i - 1), (B, 1)).astype(dt)
             sub = (qc != tw).astype(dt)
             up = jnp.concatenate(
                 [hprev[:, 1:], jnp.full((B, 1), INF, dt)], axis=1)
@@ -196,7 +196,7 @@ def banded_nw_dirs_v(q, t, W: int, band: int):
             hprev = row
         return hprev, (word, jnp.stack(wcols, axis=0))
 
-    _, (words, wcols) = lax.scan(group, row0, jnp.arange(L // 16))
+    _, (words, wcols) = lax.scan(group, row0, jnp.arange(L // 16, dtype=jnp.int32))
     wcol = jnp.concatenate([row0[:, W].astype(jnp.int16)[None],
                             wcols.reshape(L, B)], axis=0)
     return words, wcol

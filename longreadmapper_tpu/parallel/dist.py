@@ -46,27 +46,31 @@ def shard_index(idx: DeviceIndex, mesh: Mesh, shard_tables: bool = False
         packed=jax.device_put(idx.packed, rep),
         occ_samp=jax.device_put(idx.occ_samp, rep),
         c4=jax.device_put(idx.c4, rep),
-        sa=jax.device_put(_pad0(idx.sa, nm), shard),
         sa_ctx=jax.device_put(_pad0(idx.sa_ctx, nm), shard),
+        sa_hi=None if idx.sa_hi is None
+        else jax.device_put(_pad0(idx.sa_hi, nm), shard),
         lch=jax.device_put(_pad0(idx.lch, nm), shard),
-        text=jax.device_put(_pad0(idx.text, nm), shard),
+        lch_hi=None if idx.lch_hi is None
+        else jax.device_put(_pad0(idx.lch_hi, nm), shard),
         text_packed=jax.device_put(_pad0(idx.text_packed, nm), shard),
         mta_start=jax.device_put(idx.mta_start, rep),
         mta_len=jax.device_put(idx.mta_len, rep),
     )
 
 
-def _valid_count(out, lens):
+def _valid_count(cfg: MapperConfig, out, lens):
     """Mapped-read count for the sensitivity metric (alnmain.c:541).
 
     Pad rows (lens == 0) never count: a zero-length read trivially
     'aligns' with ed 0, so the global psum'd counter must mask them."""
+    mw = cfg.meta_words
     if "blob" in out:
         meta = jax.lax.bitcast_convert_type(
-            out["blob"][:, :32].reshape(-1, 8, 4), jnp.int32)
-        ed, found = meta[:, 5], meta[:, 1]
+            out["blob"][:, :4 * mw].reshape(-1, mw, 4), jnp.int32)
     else:
-        ed, found = out["meta"][:, 5], out["meta"][:, 1]
+        meta = out["meta"]
+    ed = meta[:, mw - 3]
+    found = meta[:, 2 if cfg.pos64 else 1]
     return jnp.sum((ed >= 0) & (found != 0) & (lens > 0)).astype(jnp.int32)
 
 
@@ -105,7 +109,7 @@ def make_sharded_map_step(cfg: MapperConfig, mesh: Mesh,
             out = inner(idx, codes, codes_rc, lens, limits)
             out = {k: jax.lax.with_sharding_constraint(v, data_sh)
                    for k, v in out.items()}
-            return out, _valid_count(out, lens)
+            return out, _valid_count(cfg, out, lens)
 
         return gspmd_step
 
@@ -114,7 +118,7 @@ def make_sharded_map_step(cfg: MapperConfig, mesh: Mesh,
 
     def shard_fn(idx, codes, codes_rc, lens, limits):
         out = local_step(idx, codes, codes_rc, lens, limits)
-        valid = jax.lax.psum(_valid_count(out, lens), "data")
+        valid = jax.lax.psum(_valid_count(local_cfg, out, lens), "data")
         return out, valid
 
     out_keys = ("meta", "ops") if local_cfg.use_gact \

@@ -103,8 +103,15 @@ def main():
 
     # align-only on dummy targets (the production short-read path:
     # vertically-packed direction words + run-consuming walk)
-    t_arr = idx.text[jnp.clip(jnp.arange(L)[None, :] + jnp.zeros((B, 1), jnp.int32), 0, meta.n - 1)]
-    t_arr = jnp.where(t_arr >= 4, jnp.int8(5), t_arr)
+    # rebuild a byte view of the text from the packed words (the device
+    # index no longer carries the raw byte text)
+    tp = np.asarray(idx.text_packed).view(np.uint32)
+    tbytes = ((tp[:, None] >> (2 * np.arange(16, dtype=np.uint32))) & 3
+              ).reshape(-1)[:meta.n].astype(np.int8)
+    tbytes[meta.n - 1] = 5                       # '$' never matches
+    t_host = tbytes[np.clip(np.arange(L)[None, :] + np.zeros((B, 1), np.int64),
+                            0, meta.n - 1)]
+    t_arr = jnp.asarray(t_host)
     aln = jax.jit(lambda: banded_nw_dirs_v(codes, t_arr, cfg.W, cfg.band))
     t_al = timeit(aln)
     cells = B * L * cfg.band

@@ -1,0 +1,175 @@
+"""Opt-in genome-scale tests (the reference's real workload was hg19:
+/root/reference/scripts/gen-sbatch-scripts.py:74-111, with the 40-bit .sa5
+codec existing precisely because .cat positions exceed 2^32,
+psascan/sa_use.h:17-28).
+
+These are resource-gated (single-core host, ~10-60 min each, tens of GB):
+
+  LRM_BIG_SA=1  — suffix array of a 2.5 Gb text built in-RAM by the native
+                  SA-IS (the pSAscan-replacement criterion), order
+                  spot-checked, .sa5 codec round-tripped.
+  LRM_BIG=1     — a 1.35 Gb genome (.cat = 2.7e9 > 2^31) indexed and
+                  mapped END-TO-END through the split-hi int64 device path
+                  on the 8-device virtual CPU mesh, planted reads
+                  recovered at their true positions.
+
+Both run in subprocesses: the big path enables jax x64 globally, and the
+build working set (~50-95 GB) must be released deterministically.
+"""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+BIG_SA = os.environ.get("LRM_BIG_SA") == "1"
+BIG = os.environ.get("LRM_BIG") == "1"
+
+
+@pytest.mark.skipif(not BIG_SA, reason="set LRM_BIG_SA=1 (needs ~70 GB RAM, ~30+ min)")
+def test_big_sa_build(tmp_path):
+    """SA of a 2.5e9-byte text on this host, within RAM budget."""
+    script = r"""
+import numpy as np, sys, time, resource
+sys.path.insert(0, %(repo)r)
+from longreadmapper_tpu import native
+from longreadmapper_tpu.formats.ui40 import write_sa5, read_sa5
+
+n = 2_500_000_000
+rng = np.random.default_rng(11)
+text = np.empty(n + 1, dtype=np.uint8)
+bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+chunk = 1 << 27
+for s in range(0, n, chunk):
+    m = min(chunk, n - s)
+    text[s:s + m] = bases[rng.integers(0, 4, m, dtype=np.uint8)]
+text[n] = ord("$")
+
+t0 = time.time()
+sa = native.suffix_array(text)
+t1 = time.time()
+assert native.HAVE_NATIVE
+assert sa.shape[0] == n + 1
+assert sa.dtype == np.int64
+
+# order spot-check: 2000 random adjacent rows must be in suffix order
+# (compare 64-byte windows; equal windows fall back to full slices)
+rng2 = np.random.default_rng(1)
+idx = rng2.integers(0, n, 2000)
+for i in idx:
+    a, b = int(sa[i]), int(sa[i + 1])
+    wa, wb = text[a:a + 64].tobytes(), text[b:b + 64].tobytes()
+    assert wa <= wb, (i, a, b)
+# position coverage: SA is a permutation (sum check, exact in int64 math)
+assert int(sa.sum()) == n * (n + 1) // 2
+
+# .sa5 codec: entries here exceed 2^31 (and the uint32 low word sign bit)
+p = %(out)r
+write_sa5(sa[:1_000_000], p)
+back = read_sa5(p)
+np.testing.assert_array_equal(back, sa[:1_000_000])
+peak_gb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
+print(f"BIG_SA_OK n={n} build_s={t1-t0:.0f} peak_gb={peak_gb:.1f}")
+""" % dict(repo="/root/repo", out=str(tmp_path / "big.sa5"))
+    r = subprocess.run([sys.executable, "-c", script], capture_output=True,
+                       text=True, timeout=7200)
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert "BIG_SA_OK" in r.stdout, r.stdout
+    print(r.stdout.strip())
+
+
+@pytest.mark.skipif(not BIG, reason="set LRM_BIG=1 (needs ~95 GB RAM, ~45+ min)")
+def test_big_map_end_to_end(tmp_path):
+    """>2^31 .cat: index build + sharded-mesh mapping, planted reads found."""
+    genome_mb = int(os.environ.get("LRM_BIG_MB", "1350"))
+    fa = str(tmp_path / "big.fa")
+
+    # 1) generate + index in a build subprocess (frees its working set)
+    gen = os.path.join("/root/repo", "scripts", "gen_big_genome.py")
+    r = subprocess.run([sys.executable, gen, "--out", fa, "--size",
+                       str(genome_mb * 1_000_000), "--contigs", "4",
+                       "--seed", "3"], capture_output=True, text=True,
+                       timeout=3600)
+    assert r.returncode == 0, r.stderr[-2000:]
+
+    build = r"""
+import sys, time
+sys.path.insert(0, %(repo)r)
+from longreadmapper_tpu.runtime.accidx import build_index
+from longreadmapper_tpu.utils.config import Params
+t0 = time.time()
+build_index(%(fa)r, Params(hlen=12), use_device=False, verbose=True)
+print(f"BIG_BUILD_OK s={time.time()-t0:.0f}")
+"""
+    r = subprocess.run([sys.executable, "-c", build % dict(
+        repo="/root/repo", fa=fa)], capture_output=True, text=True,
+        timeout=7200)
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert "BIG_BUILD_OK" in r.stdout, r.stdout[-2000:]
+
+    # 2) sample planted reads from the FASTA text
+    mapper = r"""
+import os, sys, time
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                           + " --xla_force_host_platform_device_count=8")
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.expanduser("~/.cache/jax_cc"))
+sys.path.insert(0, %(repo)r)
+import jax
+jax.config.update("jax_platforms", "cpu")
+import numpy as np
+from longreadmapper_tpu.formats.catmeta import load_mta
+from longreadmapper_tpu.index.device import load_device_index
+from longreadmapper_tpu.models.mapper import TPUMapper
+from longreadmapper_tpu.parallel.mesh import make_mesh
+from longreadmapper_tpu.utils.config import Params
+
+fa = %(fa)r
+mta = load_mta(fa + ".mta")
+# planted reads straight from the .cat forward halves
+cat = np.memmap(fa + ".cat", dtype=np.uint8, mode="r")
+rng = np.random.default_rng(5)
+reads, truth = [], []
+comp = bytes.maketrans(b"ACGT", b"TGCA")
+for i in range(48):
+    m = mta[int(rng.integers(0, len(mta)))]
+    pos = int(rng.integers(0, m.seq_len - 300))
+    seq = bytes(cat[m.offset + pos:m.offset + pos + 250])
+    strand = i %% 2
+    if strand:
+        seq = seq.translate(comp)[::-1]
+    reads.append((f"r{i}", seq.decode(), None))
+    truth.append((m.seq_name, pos, strand))
+
+idx, meta, mta2 = load_device_index(fa)
+assert meta.pos_dtype == "int64", meta
+assert meta.n > 2**31, meta.n
+mesh = make_mesh(n_data=1, n_model=8)
+params = Params(hlen=meta.hlen, seed_len=20, thres=300, batch_size=64)
+mapper = TPUMapper(idx, meta, mta2, params, chunk_b=16, mesh=mesh,
+                   shard_tables=True)
+t0 = time.time()
+recs = []
+for s in range(0, len(reads), 16):
+    recs.extend(mapper.map_chunk(reads[s:s + 16]))
+exact = 0
+for rec, (name, pos, strand) in zip(recs, truth):
+    assert rec.valid, (rec.qname, rec.rname, rec.ed)
+    assert rec.rname == name, (rec.qname, rec.rname, name)
+    assert rec.flag == (16 if strand else 0), (rec.qname, rec.flag)
+    exact += int(rec.off == pos)
+assert exact >= 44, exact
+print(f"BIG_MAP_OK n={meta.n} exact={exact}/48 map_s={time.time()-t0:.0f} "
+      f"valid_global={mapper.valid_global}")
+"""
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    r = subprocess.run([sys.executable, "-c", mapper % dict(
+        repo="/root/repo", fa=fa)], capture_output=True, text=True,
+        timeout=7200, env=env)
+    assert r.returncode == 0, (r.stderr[-4000:], r.stdout[-1000:])
+    assert "BIG_MAP_OK" in r.stdout, r.stdout[-2000:]
+    print(r.stdout.strip())

@@ -201,21 +201,20 @@ def test_sa_derived_lchash_matches_host(small_index):
 
 
 def test_sa_ctx_table_contents(small_index):
-    """Fused sa_ctx rows: [SA[p], 2-bit pack of text[SA[p]-16..SA[p])]."""
-    from longreadmapper_tpu.index.device import _build_sa_ctx
+    """Fused ctx words: 2-bit pack of text[SA[p]-16..SA[p])."""
+    from longreadmapper_tpu.index.device import _pack_ctx_words
     fmi, cat = small_index["fmi"], small_index["cat"]
     codes = encode_bytes(cat)
-    ctx = _build_sa_ctx(fmi.sa, codes)
+    ctx = _pack_ctx_words(fmi.sa, codes)
     rng = np.random.default_rng(3)
     for p in rng.integers(0, len(cat), 100):
         sa_v = int(fmi.sa[p])
-        assert ctx[p, 0] == sa_v
         want = 0
         for u in range(16):
             pos = sa_v - 16 + u
             c = int(codes[pos]) if 0 <= pos and codes[pos] < 4 else 0
             want |= c << (2 * u)
-        got = int(np.array(ctx[p, 1], np.int32).view(np.uint32))
+        got = int(np.array(ctx[p], np.int32).view(np.uint32))
         assert got == want
 
 
