@@ -25,12 +25,13 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 import numpy as np
 
-GENOME_MB = 4
-N_READS = 16384
-READ_LEN = 1000
-ERR = 0.03
-HLEN = 12
-CHUNK_B = 2048
+GENOME_MB = int(os.environ.get("GMB", 4))
+N_READS = int(os.environ.get("NREADS", 16384))
+READ_LEN = int(os.environ.get("RLEN", 1000))
+ERR = float(os.environ.get("ERR", 0.03))
+HLEN = int(os.environ.get("HLEN", 12))
+CHUNK_B = int(os.environ.get("CHUNK_B", 2048))
+PASSES = int(os.environ.get("PASSES", 5))
 
 
 def log(*a):
@@ -104,7 +105,7 @@ def main():
     # steady-state (fastest) one — the tunneled host link's throughput
     # drifts by up to 2x between runs
     best_dt, valid = None, 0
-    for _ in range(5):
+    for _ in range(PASSES):
         t0 = time.time()
         total = valid = 0
         chunk_iter = (reads[s:s + CHUNK_B]
@@ -116,7 +117,9 @@ def main():
         best_dt = dt if best_dt is None else min(best_dt, dt)
     dt = best_dt
     rps = total / dt
-    cells = total * READ_LEN * (2 * mapper._steps[1024][0].W + 1)
+    from longreadmapper_tpu.models.mapper import _bucket_len
+    bcfg = mapper._steps[_bucket_len(READ_LEN)][0]
+    cells = total * READ_LEN * (2 * bcfg.W + 1)
     log(f"mapped {total} reads in {dt:.2f}s -> {rps:.1f} reads/s "
         f"(valid {valid}/{total}); DP ~{cells / dt / 1e9:.2f} Gcells/s")
 

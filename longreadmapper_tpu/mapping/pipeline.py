@@ -132,6 +132,23 @@ class MapperConfig:
         return -(-want // 128) * 128
 
     @property
+    def tier1_slots(self) -> int:
+        """Always-gathered slot prefix of the vote budget.
+
+        The sa_ctx gather is the device step's dominant cost and budgets
+        ~5x the MEAN occupancy (the budget absorbs repeat spikes, the mean
+        is Poisson-ish at max_seeds * n/4^hlen).  Slots past
+        mean + 4*sqrt(mean) are occupied almost never, so their gather
+        runs under a lax.cond that fires only when some row actually
+        overflows tier 1 — identical results, ~half the gathered rows on
+        typical chunks."""
+        lam = self.n / float(4 ** self.hlen)
+        mean_row = self.max_seeds * max(lam, 0.5)
+        t1 = int(mean_row + 4 * (mean_row ** 0.5) + 12)
+        t1 = -(-t1 // 16) * 16
+        return max(16, min(t1, self.vote_slots))
+
+    @property
     def W(self) -> int:
         # static band half-width >= every read's limit (len <= L)
         return max(8, int(self.error_rate * self.L * 2))
@@ -342,13 +359,39 @@ def _seed_vote(cfg: MapperConfig, idx: DeviceIndex, codes, lens):
 
     # ONE fused gather per vote: (SA value, packed 16-base left context).
     # Narrowed wide seeds index the seed_len-mer interval directly: their
-    # SA value IS the seed start and needs no verification.
+    # SA value IS the seed start and needs no verification.  The gather is
+    # two-tiered (cfg.tier1_slots): the rarely-occupied slot tail is only
+    # gathered when some row's expansion actually reaches it — slots past
+    # a row's total are empty (valid=False) either way, so results are
+    # bit-identical.
     p_safe = jnp.clip(p_rank, 0, cfg.n - 1)
-    row = idx.sa_ctx[p_safe]                           # (BP, C, 2)
-    if cfg.pos64:
-        sa12 = _join_hi(row[..., 0], idx.sa_hi[p_safe])
+    C1 = cfg.tier1_slots
+
+    def gather_rows(p):
+        r = idx.sa_ctx[p]
+        h = idx.sa_hi[p] if cfg.pos64 else None
+        return r, h
+
+    row1, hi1 = gather_rows(p_safe[:, :C1])
+    if C1 < C:
+        def tail(_):
+            return gather_rows(p_safe[:, C1:])
+
+        def no_tail(_):
+            # zeros derived from a gathered value so both branches carry
+            # the same device-varying type under shard_map (CLAUDE.md)
+            vary = row1[:, :1, :1] * 0
+            r = jnp.zeros((BP, C - C1, 2), idx.sa_ctx.dtype) + vary
+            h = (jnp.zeros((BP, C - C1), idx.sa_hi.dtype) + hi1[:, :1] * 0
+                 if cfg.pos64 else None)
+            return r, h
+
+        row2, hi2 = lax.cond(jnp.any(total > C1), tail, no_tail, None)
+        row = jnp.concatenate([row1, row2], axis=1)
+        hi = (jnp.concatenate([hi1, hi2], axis=1) if cfg.pos64 else None)
     else:
-        sa12 = row[..., 0]
+        row, hi = row1, hi1
+    sa12 = _join_hi(row[..., 0], hi) if cfg.pos64 else row[..., 0]
     if left > 0:
         win = lax.shift_right_logical(
             row[..., 1].astype(jnp.uint32), np.uint32(2 * (16 - left)))

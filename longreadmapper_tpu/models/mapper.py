@@ -63,19 +63,18 @@ def _rle_ops(ops_row: np.ndarray) -> List[Tuple[int, str]]:
     return [(int(e - s), chr(_OP_CHARS[ops[s]])) for s, e in zip(starts, ends)]
 
 
-def _rle_runs_batch(runs: np.ndarray) -> List[List[Tuple[int, str]]]:
+def _rle_groups(runs: np.ndarray):
     """Decode device_traceback_v output for a WHOLE chunk in one numpy
     pass: (count << 2 | op) bytes in reverse path order -> merged
-    forward-order CIGAR runs per read.  Per-read numpy calls cost more
-    than the device step at these throughputs."""
-    B = runs.shape[0]
+    forward-order groups (g_row, g_op, tot).  Per-read numpy calls cost
+    more than the device step at these throughputs."""
     rev = runs[:, ::-1]
     op = rev & 3
     cnt = (rev >> 2).astype(np.int64)
     valid = (op != 3) & (cnt > 0)
     rows, cols = np.nonzero(valid)
     if rows.size == 0:
-        return [[] for _ in range(B)]
+        return rows, rows, rows
     ops_f = op[rows, cols]
     cnt_f = cnt[rows, cols]
     # group boundaries: row change or op change
@@ -83,13 +82,26 @@ def _rle_runs_batch(runs: np.ndarray) -> List[List[Tuple[int, str]]]:
     brk[0] = True
     brk[1:] = (rows[1:] != rows[:-1]) | (ops_f[1:] != ops_f[:-1])
     starts = np.flatnonzero(brk)
-    tot = np.add.reduceat(cnt_f, starts)
-    g_row = rows[starts]
-    g_op = ops_f[starts]
+    return rows[starts], ops_f[starts], np.add.reduceat(cnt_f, starts)
+
+
+def _rle_runs_batch(runs: np.ndarray) -> List[List[Tuple[int, str]]]:
+    B = runs.shape[0]
     out: List[List[Tuple[int, str]]] = [[] for _ in range(B)]
-    for r, o, t in zip(g_row, g_op, tot):
+    for r, o, t in zip(*_rle_groups(runs)):
         out[r].append((int(t), chr(_OP_CHARS[o])))
     return out
+
+
+def _cigar_strings_batch(runs: np.ndarray) -> List[str]:
+    """Per-read CIGAR strings straight from the packed run bytes."""
+    B = runs.shape[0]
+    g_row, g_op, tot = _rle_groups(runs)
+    parts: List[List[str]] = [[] for _ in range(B)]
+    opc = "MID?"
+    for r, o, t in zip(g_row.tolist(), g_op.tolist(), tot.tolist()):
+        parts[r].append(f"{t}{opc[o]}")
+    return ["".join(p) for p in parts]
 
 
 def _bucket_len(n: int, minimum: int = 128) -> int:
@@ -331,27 +343,125 @@ class TPUMapper:
         single-threaded."""
         from collections import deque
 
-        def start_fetch(parts):
-            # queue the D2H copies right behind the compute they depend on,
-            # so they overlap the NEXT chunk's device step
-            for _, _, _, out in parts:
-                for k, a in out.items():
-                    if k == "ops_tail":
-                        continue          # fetched lazily, usually never
-                    try:
-                        a.copy_to_host_async()
-                    except AttributeError:
-                        pass
-
         queue = deque()
         for chunk in chunk_iter:
             nxt = self.submit_chunk(chunk)
-            start_fetch(nxt)
+            self._start_fetch(nxt)
             queue.append(nxt)
             if len(queue) > 2:
                 yield self.collect_chunk(queue.popleft())
         while queue:
             yield self.collect_chunk(queue.popleft())
+
+    @staticmethod
+    def _start_fetch(parts):
+        # queue the D2H copies right behind the compute they depend on,
+        # so they overlap the NEXT chunk's device step
+        for _, _, _, out in parts:
+            for k, a in out.items():
+                if k == "ops_tail":
+                    continue              # fetched lazily, usually never
+                try:
+                    a.copy_to_host_async()
+                except AttributeError:
+                    pass
+
+    def collect_chunk_sam(self, pending) -> Tuple[str, int, int]:
+        """Block on a submit_chunk handle and return (sam_text, n_records,
+        n_valid) — the write-path twin of collect_chunk that skips
+        MapRecord objects entirely (PART 3+4, alnmain.c:458-527; the
+        per-read record loop was the biggest host post-processing cost)."""
+        text, total, valid = [], 0, 0
+        for cfg, reads, lens, out in self._fetch_chunk(pending):
+            self.overflow_reads += int(
+                out["meta"][:len(reads), cfg.meta_words - 1].sum())
+            t, v = self._postprocess_sam(cfg, reads, lens, out)
+            text.append(t)
+            total += len(reads)
+            valid += v
+        return "".join(text), total, valid
+
+    def map_stream_sam(self, chunk_iter):
+        """map_stream's SAM-text twin: yields (sam_text, n_records,
+        n_valid) per chunk with the same depth-3 overlap pipeline."""
+        from collections import deque
+        queue = deque()
+        for chunk in chunk_iter:
+            nxt = self.submit_chunk(chunk)
+            self._start_fetch(nxt)
+            queue.append(nxt)
+            if len(queue) > 2:
+                yield self.collect_chunk_sam(queue.popleft())
+        while queue:
+            yield self.collect_chunk_sam(queue.popleft())
+
+    # must match oracle/refpipe.revcomp exactly (lowercase -> UPPER comp)
+    _COMP = bytes.maketrans(b"ACGTacgt", b"TGCATGCA")
+
+    def _names_cache(self) -> List[str]:
+        if not hasattr(self, "_names"):
+            self._names = [m.seq_name for m in self.mta]
+        return self._names
+
+    def _meta_cols(self, cfg: MapperConfig, meta: np.ndarray):
+        """(found, gi, strand, off, ed) columns for either meta layout."""
+        if cfg.pos64:
+            # row: [best_lo, best_hi, found, gi, strand, off_lo, off_hi,
+            #       ed, limit, overflow] — positions as LE int32 pairs
+            off = (meta[:, 6].astype(np.int64) << 32) \
+                | meta[:, 5].astype(np.uint32).astype(np.int64)
+            return (meta[:, 2] != 0, meta[:, 3], meta[:, 4] != 0, off,
+                    meta[:, 7])
+        return (meta[:, 1] != 0, meta[:, 2], meta[:, 3] != 0, meta[:, 4],
+                meta[:, 5])
+
+    def _postprocess_sam(self, cfg: MapperConfig, reads, lens, out
+                         ) -> Tuple[str, int]:
+        """Chunk-vectorized SAM assembly: columns hoisted to Python lists
+        once, one f-string per record, no MapRecord/dataclass overhead."""
+        meta = np.asarray(out["meta"])
+        found, gi, strand, off, ed = self._meta_cols(cfg, meta)
+        n = len(reads)
+        if cfg.use_gact:
+            packed = np.asarray(out["ops"])
+            shifts = (2 * np.arange(16, dtype=np.int32))[None, None, :]
+            ops_arr = ((packed[:, :, None] >> shifts) & 3).reshape(
+                packed.shape[0], -1).astype(np.int8)
+            cigs = [cigar_string(_rle_ops(ops_arr[i])) for i in range(n)]
+        else:
+            cigs = _cigar_strings_batch(np.asarray(out["ops"][:n]))
+        valid_l = (found & (ed >= 0))[:n].tolist()
+        strand_l = strand[:n].tolist()
+        found_l = found[:n].tolist()
+        pos_l = (off + 1)[:n].tolist()
+        ed_l = ed[:n].tolist()
+        gi_l = gi[:n].tolist()
+        names = self._names_cache()
+        comp = self._COMP
+        lines = []
+        ap = lines.append
+        n_valid = 0
+        for i, (name, seq, qual) in enumerate(reads):
+            q = qual if qual else "*"
+            if valid_l[i]:
+                n_valid += 1
+                if strand_l[i]:
+                    seq = seq.encode().translate(comp)[::-1].decode()
+                    ap(f"{name}\t16\t{names[gi_l[i]]}\t{pos_l[i]}\t255\t"
+                       f"{cigs[i] or '*'}\t*\t0\t0\t{seq}\t{q}\t"
+                       f"ED:I:{ed_l[i]}\n")
+                else:
+                    ap(f"{name}\t0\t{names[gi_l[i]]}\t{pos_l[i]}\t255\t"
+                       f"{cigs[i] or '*'}\t*\t0\t0\t{seq}\t{q}\t"
+                       f"ED:I:{ed_l[i]}\n")
+            elif found_l[i]:
+                if strand_l[i]:
+                    seq = seq.encode().translate(comp)[::-1].decode()
+                ap(f"{name}\t4\t{names[gi_l[i]]}\t{pos_l[i]}\t0\t*\t*\t0\t0"
+                   f"\t{seq}\t{q}\tED:I:-1\n")
+            else:
+                ap(f"{name}\t4\t*\t1\t0\t*\t*\t0\t0\t{seq}\t{q}\tED:I:-1\n")
+        return "".join(lines), n_valid
 
     def _postprocess(self, cfg: MapperConfig, reads, lens, out) -> List[MapRecord]:
         meta = np.asarray(out["meta"])

@@ -378,3 +378,50 @@ def _myers_py(q, t, mode):
     if mode == 0:
         return int(prev[m]), n
     return int(best), pos
+
+
+def myers_align(q: np.ndarray, t: np.ndarray, mode: str = "HW"):
+    """edlib-equivalent alignment with PATH: (distance, t_start, t_end, ops).
+
+    The reference vendors edlib as its fallback/rescoring aligner
+    (/root/reference/edlib/edlib.h:225 `edlibAlign`, :249
+    `edlibAlignmentToCigar`); round 1 shipped DISTANCE+LOC only.  This adds
+    the TASK_PATH equivalent for all three modes:
+
+      NW  — global: window is all of t.
+      SHW — free target suffix: end located by the bit-parallel scorer.
+      HW  — infix: end from the HW scorer, start by rescoring the REVERSED
+            pair in SHW mode over t[:end] (the standard edlib technique),
+            then the located window aligns globally.
+
+    The window path comes from the banded global aligner with half-width
+    distance+1 (any optimal unit-cost path deviates from the window
+    diagonal by at most the distance), so path cost always equals the
+    bit-parallel distance; tie-break among co-optimal paths is this
+    framework's M>I>D order (edlib's exact tie order is not replicated —
+    documented divergence, any optimal path is a valid PATH result).
+
+    Returns (distance, t_start, t_end, ops) with the 0-based half-open
+    target window [t_start, t_end) and run-length ops [(len, op), ...]
+    covering q (ops is [] for an empty query).
+    """
+    q = np.ascontiguousarray(q, dtype=np.uint8)
+    t = np.ascontiguousarray(t, dtype=np.uint8)
+    m, n = q.shape[0], t.shape[0]
+    if m == 0:
+        if mode == "NW":
+            return n, 0, n, ([(n, "D")] if n else [])
+        return 0, 0, 0, []
+    ed, end = myers_distance(q, t, mode)
+    if mode == "NW":
+        start, end = 0, n
+    elif mode == "SHW":
+        start = 0
+    else:  # HW: locate the window start on the reversed pair
+        ed2, end2 = myers_distance(q[::-1], t[:end][::-1], "SHW")
+        assert ed2 == ed, (ed, ed2)
+        start = end - end2
+    W = max(ed + 1, abs((end - start) - m) + 1)
+    ed_b, ops = banded_align(q, t[start:end], W)
+    assert ed_b == ed, (ed, ed_b, mode)
+    return ed, start, end, ops

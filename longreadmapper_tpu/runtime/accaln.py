@@ -46,12 +46,10 @@ def run_mapping(genome_path: str, reads_path: str,
     total = valid = 0
     for batch in load_read_batches(reads_path, p.batch_size):
         t0 = log.vlog("processing batch of %d reads", len(batch))
-        for recs in mapper.map_stream(chunks(batch, mapper.B)):
-            for rec in recs:
-                if rec.valid:
-                    valid += 1
-                out.write(rec.to_sam())
-            total += len(recs)
+        for text, n, v in mapper.map_stream_sam(chunks(batch, mapper.B)):
+            out.write(text)
+            total += n
+            valid += v
         log.vlog("batch done in %.2fs (total %d)", log.elapse(t0), total)
 
     log.vlog("Done aligning")

@@ -114,10 +114,9 @@ def run_distributed(genome_path: str, reads_path: str,
     for batch in load_read_batches(reads_path, p.batch_size):
         # every process walks every GLOBAL chunk (SPMD); the mapper packs
         # and assembles only this process's row slice of each one
-        for recs in mapper.map_stream(chunks(batch, mapper.B)):
-            for rec in recs:
-                out.write(rec.to_sam())
-            local_total += len(recs)
+        for text, n, _ in mapper.map_stream_sam(chunks(batch, mapper.B)):
+            out.write(text)
+            local_total += n
         total += len(batch)
     if close:
         out.close()

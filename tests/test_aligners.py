@@ -134,3 +134,70 @@ def test_myers_matches_banded_align_nw():
     d, _ = native.myers_distance(q, t, "NW")
     ed, _ = native.banded_align(q, t, 16)
     assert d == ed == 3  # 1 sub + 2-base gap
+
+
+def _brute_infix(q, t):
+    """O(mn) HW-mode DP: (distance, best end) with free target prefix/suffix."""
+    m, n = len(q), len(t)
+    prev = np.arange(m + 1)
+    prev[:] = np.arange(m + 1)
+    best, pos = prev[m], 0
+    for j in range(1, n + 1):
+        cur = np.empty(m + 1, dtype=np.int64)
+        cur[0] = 0
+        sub = (q != t[j - 1]) | (q >= 4)
+        for i in range(1, m + 1):
+            cur[i] = min(prev[i] + 1, cur[i - 1] + 1,
+                         prev[i - 1] + int(sub[i - 1]))
+        prev = cur
+        if cur[m] < best:
+            best, pos = cur[m], j
+    return int(best), int(pos)
+
+
+def _apply_ops(q, t_win, ops):
+    """Walk run-length ops; returns (edits, q_consumed, t_consumed)."""
+    qi = ti = edits = 0
+    for ln, op in ops:
+        if op == "M":
+            edits += int(np.sum(q[qi:qi + ln] != t_win[ti:ti + ln]))
+            qi += ln
+            ti += ln
+        elif op == "I":
+            qi += ln
+            edits += ln
+        elif op == "D":
+            ti += ln
+            edits += ln
+    return edits, qi, ti
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_myers_align_hw_path(seed):
+    """edlib HW TASK_PATH equivalent: distance == brute infix DP, and the
+    returned window+ops form a valid optimal alignment (edlib.h:225,249)."""
+    rng = np.random.default_rng(seed)
+    m = int(rng.integers(8, 40))
+    n = int(rng.integers(m, 160))
+    q = rng.integers(0, 4, m).astype(np.uint8)
+    t = rng.integers(0, 4, n).astype(np.uint8)
+    ed, start, end, ops = native.myers_align(q, t, "HW")
+    want, _ = _brute_infix(q, t)
+    assert ed == want
+    edits, qc, tc = _apply_ops(q, t[start:end], ops)
+    assert qc == m and tc == end - start
+    assert edits == ed
+
+
+def test_myers_align_hw_planted():
+    """A planted infix (with 1 sub + 1 del) is located and pathed."""
+    rng = np.random.default_rng(99)
+    t = rng.integers(0, 4, 300).astype(np.uint8)
+    q = t[100:160].copy()
+    q[10] = (q[10] + 1) % 4
+    q = np.concatenate([q[:30], q[31:]]).astype(np.uint8)  # delete 1 base
+    ed, start, end, ops = native.myers_align(q, t, "HW")
+    assert ed == 2
+    assert start == 100 and end == 160
+    edits, qc, tc = _apply_ops(q, t[start:end], ops)
+    assert (edits, qc, tc) == (2, len(q), 60)
