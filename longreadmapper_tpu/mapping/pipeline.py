@@ -131,22 +131,6 @@ class MapperConfig:
         want = max(self.vote_budget, need, 128)
         return -(-want // 128) * 128
 
-    @property
-    def tier1_slots(self) -> int:
-        """Always-gathered slot prefix of the vote budget.
-
-        The sa_ctx gather is the device step's dominant cost and budgets
-        ~5x the MEAN occupancy (the budget absorbs repeat spikes, the mean
-        is Poisson-ish at max_seeds * n/4^hlen).  Slots past
-        mean + 4*sqrt(mean) are occupied almost never, so their gather
-        runs under a lax.cond that fires only when some row actually
-        overflows tier 1 — identical results, ~half the gathered rows on
-        typical chunks."""
-        lam = self.n / float(4 ** self.hlen)
-        mean_row = self.max_seeds * max(lam, 0.5)
-        t1 = int(mean_row + 4 * (mean_row ** 0.5) + 12)
-        t1 = -(-t1 // 16) * 16
-        return max(16, min(t1, self.vote_slots))
 
     @property
     def W(self) -> int:
@@ -294,6 +278,74 @@ def _join_hi(lo, hi):
             | lo.astype(jnp.uint32).astype(jnp.int64))
 
 
+def _slots_by_sort(cfg: MapperConfig, cnt, k_seed, qw, j_ps, wide):
+    """Slot -> seed assignment by merge-sort instead of the owns matrix.
+
+    The owns-matrix reduce materializes (B*P, S, C) — fine for short
+    reads (S <= ~100) but QUADRATIC in read length (S ~ L/step and
+    C ~ 2*S*lam), blowing memory at 50 kb.  Long reads have few rows and
+    long columns, exactly where device sorts are cheap, so: per row, sort
+    seed records (key = 2*start) and slot probes (key = 2*slot + 1)
+    together, forward-fill each seed's payload onto the slots it owns
+    (associative scan), then stable-sort the slot probes back to the
+    front.  Produces bit-identical (p_rank, qw, j, wide) per slot to the
+    owns path (property-tested in tests/test_ops.py).
+    """
+    BP, S = cnt.shape
+    C = cfg.vote_slots
+    pdt = k_seed.dtype
+    cum = jnp.cumsum(cnt, axis=1)
+    starts = cum - cnt
+
+    big = jnp.int32(0x7FFFFFFF)
+    seed_key = jnp.where(cnt > 0, starts * 2, big)
+    slot_key = (2 * jnp.arange(C, dtype=jnp.int32) + 1)[None, :]
+    keys = jnp.concatenate(
+        [seed_key, jnp.broadcast_to(slot_key, (BP, C))], axis=1)
+    zP = jnp.zeros((BP, C), pdt)
+    z32 = jnp.zeros((BP, C), jnp.int32)
+    d_all = jnp.concatenate([k_seed - starts.astype(pdt), zP], axis=1)
+    qw_all = jnp.concatenate([qw, z32], axis=1)
+    aux_all = jnp.concatenate(
+        [((j_ps + 1) << 1) | wide.astype(jnp.int32), z32], axis=1)
+    isslot = jnp.concatenate(
+        [jnp.zeros((BP, S), jnp.int8), jnp.ones((BP, C), jnp.int8)], axis=1)
+
+    k_s, d_s, qw_s, aux_s, slot_s = lax.sort(
+        (keys, d_all, qw_all, aux_all, isslot), dimension=1,
+        is_stable=True, num_keys=1)
+
+    # forward-fill the latest SEED record onto following slot probes
+    def fill(a, b):
+        da, qa, aa, fa = a
+        db, qb, ab, fb = b
+        keep_b = fb > 0
+        return (jnp.where(keep_b, db, da), jnp.where(keep_b, qb, qa),
+                jnp.where(keep_b, ab, aa), jnp.maximum(fa, fb))
+
+    seen = (1 - slot_s).astype(jnp.int32)       # 1 at seed records
+    d_f, qw_f, aux_f, seen_f = lax.associative_scan(
+        fill, (jnp.where(slot_s == 0, d_s, 0),
+               jnp.where(slot_s == 0, qw_s, 0),
+               jnp.where(slot_s == 0, aux_s, 0), seen), axis=1)
+
+    # slot probes back to the front, in slot order (stable)
+    _, d_o, qw_o, aux_o, seen_o = lax.sort(
+        ((1 - slot_s).astype(jnp.int32), d_f, qw_f, aux_f, seen_f),
+        dimension=1, is_stable=True, num_keys=1)
+    d_o, qw_o, aux_o, seen_o = (a[:, :C] for a in
+                                (d_o, qw_o, aux_o, seen_o))
+
+    slot_idx = jnp.arange(C, dtype=jnp.int32)[None, :]
+    total = cum[:, -1]
+    slot_valid = (slot_idx < total[:, None]) & (seen_o > 0)
+    p_rank = jnp.where(slot_valid, d_o + slot_idx.astype(pdt), 0)
+    qw_slot = qw_o
+    wide_slot = slot_valid & ((aux_o & 1) > 0)
+    j_slot = jnp.where(slot_valid, (aux_o >> 1) - 1, -1)
+    return p_rank, qw_slot, wide_slot, j_slot, total
+
+
 def _seed_vote(cfg: MapperConfig, idx: DeviceIndex, codes, lens):
     """All seeding phases in one batched pass; returns (best, overflow)."""
     B, P, S, C = cfg.B, cfg.phases, cfg.max_seeds, cfg.vote_slots
@@ -342,56 +394,43 @@ def _seed_vote(cfg: MapperConfig, idx: DeviceIndex, codes, lens):
         cfg, idx, wide, k12, l12, cnt12, qw)
     is_wide = wide                                      # (BP, S)
 
-    # compaction: seed-major, interval-rank-minor contiguous slot layout
-    cum = jnp.cumsum(cnt, axis=1)
-    total = cum[:, -1]
-    starts = cum - cnt
-    slots = jnp.arange(C, dtype=jnp.int32)[None, None, :]
-    owns = (starts[:, :, None] <= slots) & (slots < cum[:, :, None])  # (BP,S,C)
-    o32 = owns.astype(jnp.int32)
-    p_rank = jnp.sum(o32 * (k_seed - starts)[:, :, None], axis=1) + slots[0]
-    qw_slot = jnp.sum(o32 * qw[:, :, None], axis=1)
-    wide_slot = jnp.sum(o32 * is_wide.astype(jnp.int32)[:, :, None],
-                        axis=1) > 0
-    # j+1 so empty slots carry -1 (distinct from any real seed's j)
-    j_slot = jnp.sum(o32 * (j_ps + 1)[:, :, None], axis=1) - 1
+    # compaction: seed-major, interval-rank-minor contiguous slot layout.
+    # Short reads use the fused owns-matrix reduce ((BP, S, C) compare+
+    # mask+sum); long reads use the sort-based assignment — owns is
+    # quadratic in read length (S ~ L/step AND C ~ 2*S*lam) and would
+    # materialize TBs at 50 kb.
+    if cfg.use_gact:
+        p_rank, qw_slot, wide_slot, j_slot, total = _slots_by_sort(
+            cfg, cnt, k_seed, qw, j_ps, is_wide)
+    else:
+        cum = jnp.cumsum(cnt, axis=1)
+        total = cum[:, -1]
+        starts = cum - cnt
+        slots = jnp.arange(C, dtype=jnp.int32)[None, None, :]
+        owns = (starts[:, :, None] <= slots) & (slots < cum[:, :, None])
+        o32 = owns.astype(jnp.int32)
+        p_rank = (jnp.sum(o32 * (k_seed - starts)[:, :, None], axis=1)
+                  + slots[0])
+        qw_slot = jnp.sum(o32 * qw[:, :, None], axis=1)
+        wide_slot = jnp.sum(o32 * is_wide.astype(jnp.int32)[:, :, None],
+                            axis=1) > 0
+        # j+1 so empty slots carry -1 (distinct from any real seed's j)
+        j_slot = jnp.sum(o32 * (j_ps + 1)[:, :, None], axis=1) - 1
     valid = j_slot >= 0
 
     # ONE fused gather per vote: (SA value, packed 16-base left context).
     # Narrowed wide seeds index the seed_len-mer interval directly: their
-    # SA value IS the seed start and needs no verification.  The gather is
-    # two-tiered (cfg.tier1_slots): the rarely-occupied slot tail is only
-    # gathered when some row's expansion actually reaches it — slots past
-    # a row's total are empty (valid=False) either way, so results are
-    # bit-identical.
+    # SA value IS the seed start and needs no verification.  (A two-tier
+    # gather with the rarely-occupied slot tail under lax.cond was built
+    # and MEASURED SLOWER — 26.2 ms vs 18.2 ms at B=1024 — the cond's
+    # buffer handling costs more than the skipped rows save; see
+    # CLAUDE.md ledger.)
     p_safe = jnp.clip(p_rank, 0, cfg.n - 1)
-    C1 = cfg.tier1_slots
-
-    def gather_rows(p):
-        r = idx.sa_ctx[p]
-        h = idx.sa_hi[p] if cfg.pos64 else None
-        return r, h
-
-    row1, hi1 = gather_rows(p_safe[:, :C1])
-    if C1 < C:
-        def tail(_):
-            return gather_rows(p_safe[:, C1:])
-
-        def no_tail(_):
-            # zeros derived from a gathered value so both branches carry
-            # the same device-varying type under shard_map (CLAUDE.md)
-            vary = row1[:, :1, :1] * 0
-            r = jnp.zeros((BP, C - C1, 2), idx.sa_ctx.dtype) + vary
-            h = (jnp.zeros((BP, C - C1), idx.sa_hi.dtype) + hi1[:, :1] * 0
-                 if cfg.pos64 else None)
-            return r, h
-
-        row2, hi2 = lax.cond(jnp.any(total > C1), tail, no_tail, None)
-        row = jnp.concatenate([row1, row2], axis=1)
-        hi = (jnp.concatenate([hi1, hi2], axis=1) if cfg.pos64 else None)
+    row = idx.sa_ctx[p_safe]                           # (BP, C, 2)
+    if cfg.pos64:
+        sa12 = _join_hi(row[..., 0], idx.sa_hi[p_safe])
     else:
-        row, hi = row1, hi1
-    sa12 = _join_hi(row[..., 0], hi) if cfg.pos64 else row[..., 0]
+        sa12 = row[..., 0]
     if left > 0:
         win = lax.shift_right_logical(
             row[..., 1].astype(jnp.uint32), np.uint32(2 * (16 - left)))
@@ -511,17 +550,27 @@ def make_map_step(cfg: MapperConfig):
         t = jnp.where(gpos >= cfg.n - 1, 5, t).astype(jnp.int8)
 
         if cfg.use_gact:
-            # long reads: checkpointed tiled DP + rematerialized walk keeps
-            # memory O(tile * band) instead of O(L * band) (ops/gact.py)
-            from ..ops.gact import gact_forward, gact_traceback
+            # long reads: checkpointed tiled DP + rematerialized
+            # run-consuming walk keeps memory O(tile * band) instead of
+            # O(L * band) (ops/gact.py); same run-byte format as the
+            # short path, so everything downstream is shared
+            from ..ops.gact import (gact_forward, gact_runs_cols,
+                                    gact_traceback_v)
             T = cfg.gact_tile
             ckpt, wcol = gact_forward(q, t, T, W, band)
-            ops = gact_traceback(q, t, ckpt, lens, T, W, band)
+            run_bytes = gact_traceback_v(q, t, ckpt, lens, T, W, band)
+            # real (non-pad) run bytes for an in-limit read: word
+            # fragments (L/16 + one boundary split per tile + one per
+            # edit) + one edit byte per edit, edits <= ed <= W
+            K = L // 16 + L // T + 4 * W + 16
         else:
             from ..ops.wavefront import banded_nw_dirs_v
-            from ..ops.traceback import device_traceback_v
+            from ..ops.traceback import device_traceback_v, \
+                traceback_v_iters
             vdirs, wcol = banded_nw_dirs_v(q, t, W, band)
             run_bytes = device_traceback_v(vdirs, lens, L, W)
+            # real run bytes for an in-limit read: <= L/16 + 2W + slack
+            K = traceback_v_iters(L, W) + 4
         ed_raw = wcol[lens, jnp.arange(B)].astype(jnp.int32)
         limit = limits.astype(jnp.int32)
         ed = jnp.where(ed_raw <= limit, ed_raw, -1)
@@ -544,29 +593,19 @@ def make_map_step(cfg: MapperConfig):
                               gi, strand.astype(jnp.int32),
                               off.astype(jnp.int32), ed, limit,
                               overflow.astype(jnp.int32)], axis=1)
-        if cfg.use_gact:
-            Lw = ops.shape[1]
-            pad = (-Lw) % 16
-            if pad:
-                ops = jnp.concatenate(
-                    [ops, jnp.full((B, pad), 3, ops.dtype)], axis=1)
-            shifts = (2 * jnp.arange(16, dtype=jnp.int32))[None, None, :]
-            ops_out = jnp.sum(
-                ops.reshape(B, -1, 16).astype(jnp.int32) << shifts,
-                axis=-1).astype(jnp.int32)
-            return dict(meta=meta, ops=ops_out)
         # compact the run bytes (stable sort by pad flag keeps path order):
         # at most head_cols entries are real for typical reads, so the D2H
         # link (slow on remote-attached TPUs) ships meta + the head FUSED
         # into one array (the link also pays a round trip PER ARRAY);
         # `ops_tail` is fetched lazily only when some read overflows the
         # head
-        from ..ops.traceback import traceback_v_iters
-        K = traceback_v_iters(L, W) + 4
         is_pad = ((run_bytes & 3) == 3).astype(jnp.int8)
         _, compact = lax.sort((is_pad, run_bytes), dimension=1,
                               is_stable=True, num_keys=1)
-        head = min(cfg.ops_head_cols, K)
+        # long reads legitimately need ~L/16+2*ed real bytes, so the gact
+        # path ships all K eagerly (the compute per chunk dwarfs the D2H);
+        # short reads ship a small head + lazy tail
+        head = K if cfg.use_gact else min(cfg.ops_head_cols, K)
         meta_bytes = lax.bitcast_convert_type(meta, jnp.int8).reshape(
             B, 4 * cfg.meta_words)
         blob = jnp.concatenate([meta_bytes, compact[:, :head]], axis=1)

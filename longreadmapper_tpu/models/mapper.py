@@ -52,17 +52,6 @@ class MapRecord:
 _OP_CHARS = np.frombuffer(b"MID?", dtype=np.uint8)
 
 
-def _rle_ops(ops_row: np.ndarray) -> List[Tuple[int, str]]:
-    """Reverse + run-length encode a device traceback op row (pad=3)."""
-    ops = ops_row[ops_row != 3][::-1]
-    if ops.size == 0:
-        return []
-    change = np.nonzero(np.diff(ops))[0] + 1
-    starts = np.concatenate([[0], change])
-    ends = np.concatenate([change, [ops.size]])
-    return [(int(e - s), chr(_OP_CHARS[ops[s]])) for s, e in zip(starts, ends)]
-
-
 def _rle_groups(runs: np.ndarray):
     """Decode device_traceback_v output for a WHOLE chunk in one numpy
     pass: (count << 2 | op) bytes in reverse path order -> merged
@@ -422,14 +411,7 @@ class TPUMapper:
         meta = np.asarray(out["meta"])
         found, gi, strand, off, ed = self._meta_cols(cfg, meta)
         n = len(reads)
-        if cfg.use_gact:
-            packed = np.asarray(out["ops"])
-            shifts = (2 * np.arange(16, dtype=np.int32))[None, None, :]
-            ops_arr = ((packed[:, :, None] >> shifts) & 3).reshape(
-                packed.shape[0], -1).astype(np.int8)
-            cigs = [cigar_string(_rle_ops(ops_arr[i])) for i in range(n)]
-        else:
-            cigs = _cigar_strings_batch(np.asarray(out["ops"][:n]))
+        cigs = _cigar_strings_batch(np.asarray(out["ops"][:n]))
         valid_l = (found & (ed >= 0))[:n].tolist()
         strand_l = strand[:n].tolist()
         found_l = found[:n].tolist()
@@ -480,14 +462,7 @@ class TPUMapper:
             strand = meta[:, 3] != 0
             off = meta[:, 4]
             ed = meta[:, 5]
-        if cfg.use_gact:
-            packed = np.asarray(out["ops"])
-            shifts = (2 * np.arange(16, dtype=np.int32))[None, None, :]
-            ops_arr = ((packed[:, :, None] >> shifts) & 3).reshape(
-                packed.shape[0], -1).astype(np.int8)
-            all_runs = None
-        else:
-            all_runs = _rle_runs_batch(np.asarray(out["ops"]))
+        all_runs = _rle_runs_batch(np.asarray(out["ops"]))
 
         recs: List[MapRecord] = []
         for i, (name, seq, qual) in enumerate(reads):
@@ -495,8 +470,7 @@ class TPUMapper:
             ed_i = int(ed[i]) if ok else -1
             valid = ok and ed_i >= 0
             if valid:
-                ops = (_rle_ops(ops_arr[i]) if all_runs is None
-                       else all_runs[i])
+                ops = all_runs[i]
                 cig = cigar_string(ops) if ops else "*"
                 flag = 16 if strand[i] else 0
                 mapq = 255

@@ -38,15 +38,11 @@ NEG = -(1 << 20)
 
 
 def _maxplus_scan(x, band: int, ext: int):
-    """Inclusive max-plus scan: out[d] = max_{e<=d} x[e] - ext*(d-e)."""
-    s = 1
-    while s < band:
-        shifted = jnp.concatenate(
-            [jnp.full(x.shape[:-1] + (s,), NEG, x.dtype), x[..., :-s]],
-            axis=-1)
-        x = jnp.maximum(x, shifted - ext * s)
-        s *= 2
-    return x
+    """Inclusive max-plus scan: out[d] = max_{e<=d} x[e] - ext*(d-e).
+
+    Slope transform + fused cummax (see wavefront._minplus_scan)."""
+    d_idx = ext * jnp.arange(band, dtype=x.dtype)
+    return lax.cummax(x + d_idx, axis=x.ndim - 1) - d_idx
 
 
 @partial(jax.jit, static_argnames=("W", "band", "match", "mismatch",

@@ -44,14 +44,19 @@ def _row0(B: int, L: int, W: int, band: int, q, dt):
     return row[None, :] + q[:, :1].astype(dt) * 0
 
 
-def _dp_row_step(q, tpad, L: int, W: int, band: int, with_dirs: bool):
-    """Row update shared by both passes (see ops/wavefront.banded_nw_dirs)."""
+def _dp_row_step(q, tpad, L: int, W: int, band: int, with_dirs: bool,
+                 vertical: bool = False):
+    """Row update shared by both passes (see ops/wavefront.banded_nw_dirs).
+
+    vertical=True: the step consumes a BASE row index i0 and advances 16
+    rows, emitting one vertically packed direction word per band column
+    (row i0+r at bit-pair r) — the layout the run-consuming walk eats."""
     B = q.shape[0]
     dt = jnp.int32
     d_idx = jnp.arange(band, dtype=dt)
     shifts = (2 * jnp.arange(16, dtype=dt))[None, None, :]
 
-    def step(hprev, i):
+    def one_row(hprev, i):
         tw = lax.dynamic_slice(tpad, (jnp.int32(0), i), (B, band)).astype(dt)
         qc = lax.dynamic_slice(q, (jnp.int32(0), i - 1), (B, 1)).astype(dt)
         sub = (qc != tw).astype(dt)
@@ -62,10 +67,28 @@ def _dp_row_step(q, tpad, L: int, W: int, band: int, with_dirs: bool):
         j = i + d_idx[None, :] - W
         row = jnp.where((j >= 0) & (j <= L), jnp.minimum(row, INF), INF)
         if not with_dirs:
-            return row, row[:, W].astype(jnp.int16)
+            return row, None
         diag_ok = (hprev < INF) & (hprev + sub == row)
         up_ok = up + 1 == row
         dirs = jnp.where(diag_ok, 0, jnp.where(up_ok, 1, 2))
+        return row, dirs
+
+    if vertical:
+        assert with_dirs
+
+        def step(hprev, i0):
+            word = jnp.zeros((B, band), dt)
+            for r in range(16):
+                hprev, dirs = one_row(hprev, i0 + r)
+                word = word | (dirs << (2 * r))
+            return hprev, word
+
+        return step
+
+    def step(hprev, i):
+        row, dirs = one_row(hprev, i)
+        if not with_dirs:
+            return row, row[:, W].astype(jnp.int16)
         packed = jnp.sum(dirs.reshape(B, band // 16, 16) << shifts,
                          axis=-1).astype(jnp.int32)
         return row, packed
@@ -101,6 +124,113 @@ def gact_forward(q, t, T: int, W: int, band: int):
     wcol = jnp.concatenate([h0[:, W].astype(jnp.int16)[None],
                             wcols.reshape(L, B)], axis=0)
     return ckpt, wcol
+
+
+def gact_runs_cols(L: int, T: int, W: int) -> int:
+    """Run-byte columns emitted by gact_traceback_v.
+
+    Iterations (one buffer row each) = per-tile max over lanes of
+    word-fragments (L/16 total) + that lane's edits in the tile.  A
+    single lane's edits sum to <= 2W, but the per-tile max can land on
+    different lanes, so budget 4W of edit rows plus per-tile slack; the
+    walk clamps its write pointer at this cap (run rows past it would be
+    dropped — unreachable for realistic batches, where per-tile edit
+    maxima track the error rate)."""
+    return 2 * (L // 16 + 4 * W + 4 * (L // T) + 16)
+
+
+@partial(jax.jit, static_argnames=("T", "W", "band"))
+def gact_traceback_v(q, t, ckpt, lens, T: int, W: int, band: int):
+    """Run-consuming rematerialized walk (the long-read twin of
+    ops/traceback.device_traceback_v).
+
+    Tiles replay newest-first; each recomputes its direction bits from its
+    checkpoint row as VERTICALLY packed words ((T/16, B, band) — an M-run
+    at fixed band column lives inside one word), then a while_loop walks
+    runs with an all-lanes-done-in-tile early exit.  Iterations per tile
+    are ~T/16 + this tile's edit count instead of the old per-cell
+    T + W + 1 (at 50 kb / W=5000 that bound exploded to ~540k sequential
+    steps and ~20 MB of padded per-cell ops D2H; runs are ~40x smaller).
+
+    Returns runs (B, gact_runs_cols(L, T, W)) int8 — (count << 2) | op
+    bytes in reverse path order with pad gaps (op 3) between tiles; same
+    byte format as device_traceback_v, so host RLE merging is shared.
+    """
+    B, L = q.shape
+    K = L // T
+    G = T // 16
+    dt = jnp.int32
+    tpad = jnp.pad(t.astype(jnp.int8), ((0, 0), (W + 1, band)),
+                   constant_values=5)
+    row_step = _dp_row_step(q, tpad, L, W, band, with_dirs=True,
+                            vertical=True)
+    bidx = jnp.arange(B, dtype=dt)
+    lens32 = lens.astype(dt)
+    n_rows = gact_runs_cols(L, T, W) // 2
+    tile_bound = G + 2 * W + 4
+
+    def tile(carry, kk):
+        i, j, done, ptr, buf = carry
+        k = K - 1 - kk
+        lo = k * T
+
+        def group(h, gg):
+            return row_step(h, k * T + 1 + gg * 16)
+
+        _, vdirs = lax.scan(group, ckpt[k],
+                            jnp.arange(G, dtype=dt))       # (G, B, band)
+        Vf = vdirs.reshape(-1)
+
+        def wstep(state):
+            it, i, j, done, ptr, buf = state
+            in_tile = (i > lo) | ((k == 0) & (i == 0))
+            active = ~done & in_tile
+            d = jnp.clip(j - i + W, 0, band - 1)
+            rl = jnp.clip(i - 1 - lo, 0, T - 1)
+            g = rl >> 4
+            r = rl & 15
+            word = jnp.take(Vf, jnp.clip((g * B + bidx) * band + d,
+                                         0, G * B * band - 1))
+            z = (word.astype(jnp.uint32)
+                 << (2 * (15 - r)).astype(jnp.uint32))
+            mrun = lax.clz(z.astype(dt)) >> 1
+            mrun = jnp.where(active & (i > lo), jnp.minimum(mrun, r + 1), 0)
+            i2 = i - mrun
+            j2 = j - mrun
+            done_mid = (i2 == 0) & (j2 == 0)
+            # the edit ending the run, if its row is still in this word;
+            # i2 == lo and k > 0 means the tile boundary cut the run
+            in_word = mrun <= r
+            cell = (word >> (2 * ((i2 - 1 - lo) & 15))) & 3
+            op2 = jnp.where(i2 == 0, 2, cell)
+            take2 = active & ~done_mid & (
+                ((in_word & (i2 > lo)) | ((i2 == 0) & (j2 > 0))))
+            i3 = jnp.where(take2 & (op2 == 1), i2 - 1, i2)
+            j3 = jnp.where(take2 & (op2 == 2), j2 - 1, j2)
+            done3 = done | ((i3 == 0) & (j3 == 0))
+            b1 = jnp.where(mrun > 0, (mrun << 2) | 0, jnp.int32(OP_PAD))
+            b2 = jnp.where(take2, 4 | op2, jnp.int32(OP_PAD))
+            out = jnp.stack([b1, b2], axis=1).astype(jnp.int8)
+            buf = lax.dynamic_update_slice(
+                buf, out[None], (ptr, jnp.int32(0), jnp.int32(0)))
+            return (it + 1, i3, j3, done3,
+                    jnp.minimum(ptr + 1, n_rows - 1), buf)
+
+        def wcond(state):
+            it, i, j, done, ptr, buf = state
+            alive = ~done & ((i > lo) | ((k == 0) & (j > 0)))
+            return (it < tile_bound) & jnp.any(alive)
+
+        _, i, j, done, ptr, buf = lax.while_loop(
+            wcond, wstep, (jnp.int32(0), i, j, done, ptr, buf))
+        return (i, j, done, ptr, buf), None
+
+    zb8 = (lens32 * 0).astype(jnp.int8)
+    buf0 = jnp.full((n_rows, B, 2), OP_PAD, jnp.int8) + zb8[None, :, None]
+    carry0 = (lens32, lens32, lens32 <= 0, jnp.int32(0), buf0)
+    (_, _, _, _, buf), _ = lax.scan(tile, carry0,
+                                    jnp.arange(K, dtype=dt))
+    return jnp.transpose(buf, (1, 0, 2)).reshape(B, -1)
 
 
 @partial(jax.jit, static_argnames=("T", "W", "band"))

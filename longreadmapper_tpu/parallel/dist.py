@@ -121,8 +121,7 @@ def make_sharded_map_step(cfg: MapperConfig, mesh: Mesh,
         valid = jax.lax.psum(_valid_count(local_cfg, out, lens), "data")
         return out, valid
 
-    out_keys = ("meta", "ops") if local_cfg.use_gact \
-        else ("blob", "ops_tail")
+    out_keys = ("blob", "ops_tail")
     sharded = jax.shard_map(
         shard_fn, mesh=mesh,
         in_specs=(P(), P("data"), P("data"), P("data"), P("data")),

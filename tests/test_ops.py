@@ -199,3 +199,49 @@ def test_pallas_scores_matches_jnp_tpu():
     np.testing.assert_array_equal(
         np.asarray(banded_nw_scores(q, t, W, band)),
         np.asarray(banded_nw_scores_pallas(q, t, W, band)))
+
+
+def test_slots_by_sort_matches_owns():
+    """The sort-based slot assignment (long-read path) is bit-identical to
+    the owns-matrix reduce (short-read path) for every slot field."""
+    import jax.numpy as jnp
+    from dataclasses import replace
+    from longreadmapper_tpu.mapping.pipeline import (MapperConfig,
+                                                     _slots_by_sort)
+
+    rng = np.random.default_rng(3)
+    BP, S, C = 12, 9, 32
+    cfg = MapperConfig(B=1, L=128, seed_len=20, gap_len=1, thres=300,
+                       hlen=6, n=1 << 20, dollar_pos=0, accept_score=0.6,
+                       error_rate=0.05, vote_budget=C)
+    assert cfg.vote_slots >= C
+
+    for trial in range(8):
+        cnt = rng.integers(0, 7, (BP, S)).astype(np.int32)
+        cnt[rng.random((BP, S)) < 0.4] = 0
+        k_seed = rng.integers(0, 1 << 20, (BP, S)).astype(np.int32)
+        qw = rng.integers(0, 1 << 16, (BP, S)).astype(np.int32)
+        j_ps = rng.integers(0, 100, (BP, S)).astype(np.int32)
+        wide = rng.random((BP, S)) < 0.2
+
+        C_ = cfg.vote_slots
+        cum = np.cumsum(cnt, axis=1)
+        total = cum[:, -1]
+        starts = cum - cnt
+        slots = np.arange(C_, dtype=np.int32)[None, None, :]
+        owns = (starts[:, :, None] <= slots) & (slots < cum[:, :, None])
+        o32 = owns.astype(np.int32)
+        p_rank = (o32 * (k_seed - starts)[:, :, None]).sum(1) + slots[0, 0]
+        qw_slot = (o32 * qw[:, :, None]).sum(1)
+        wide_slot = (o32 * wide.astype(np.int32)[:, :, None]).sum(1) > 0
+        j_slot = (o32 * (j_ps + 1)[:, :, None]).sum(1) - 1
+
+        pr, qs, ws, js, tot = _slots_by_sort(
+            cfg, jnp.asarray(cnt), jnp.asarray(k_seed), jnp.asarray(qw),
+            jnp.asarray(j_ps), jnp.asarray(wide))
+        valid = j_slot >= 0
+        np.testing.assert_array_equal(np.asarray(js), j_slot)
+        np.testing.assert_array_equal(np.asarray(tot), total)
+        np.testing.assert_array_equal(np.asarray(ws), wide_slot)
+        np.testing.assert_array_equal(np.asarray(pr)[valid], p_rank[valid])
+        np.testing.assert_array_equal(np.asarray(qs)[valid], qw_slot[valid])
