@@ -40,9 +40,22 @@ NEG = -(1 << 20)
 def _maxplus_scan(x, band: int, ext: int):
     """Inclusive max-plus scan: out[d] = max_{e<=d} x[e] - ext*(d-e).
 
-    Slope transform + fused cummax (see wavefront._minplus_scan)."""
-    d_idx = ext * jnp.arange(band, dtype=x.dtype)
-    return lax.cummax(x + d_idx, axis=x.ndim - 1) - d_idx
+    Slope transform + fused cummax at short bands; doubling scan at wide
+    bands on TPU, where XLA's cumulative lowering collapses (~20x — see
+    wavefront._minplus_scan; the CPU backend prefers cummax at every
+    width)."""
+    import jax
+    if band <= 512 or jax.default_backend() == "cpu":
+        d_idx = ext * jnp.arange(band, dtype=x.dtype)
+        return lax.cummax(x + d_idx, axis=x.ndim - 1) - d_idx
+    s = 1
+    while s < band:
+        shifted = jnp.concatenate(
+            [jnp.full(x.shape[:-1] + (s,), NEG, x.dtype), x[..., :-s]],
+            axis=-1)
+        x = jnp.maximum(x, shifted - ext * s)
+        s *= 2
+    return x
 
 
 @partial(jax.jit, static_argnames=("W", "band", "match", "mismatch",

@@ -34,12 +34,26 @@ INF = 0x3FFF
 def _minplus_scan(x, band: int):
     """Inclusive min-plus scan: out[d] = min_{e<=d} x[e] + (d - e).
 
-    Via the slope transform out = d + cummin(x - d): XLA's fused cummin
-    beats the hand-rolled doubling scan (whose shifted concats each
-    materialize a full (B, band) array) by ~15% on v5e
-    (scripts/bench_minplus.py)."""
-    d_idx = jnp.arange(band, dtype=x.dtype)
-    return d_idx + lax.cummin(x - d_idx, axis=x.ndim - 1)
+    Two lowerings, measured on v5e (scripts/bench_minplus.py + rowprof):
+    the slope transform out = d + cummin(x - d) wins ~15% at short bands
+    (7.1 vs 8.8 us/row at (1024, 256)), but XLA's TPU cummin lowering
+    COLLAPSES at long rows (142 vs 7.5 us/row at (48, 2176) — the 10 kb
+    long-read band), so wide bands use the hand-rolled doubling scan.
+    On the CPU backend it's the mirror image (cummin is one fused pass,
+    doubling is log2(band) full-array passes — ~10x), so the switch is
+    backend-aware."""
+    import jax
+    if band <= 512 or jax.default_backend() == "cpu":
+        d_idx = jnp.arange(band, dtype=x.dtype)
+        return d_idx + lax.cummin(x - d_idx, axis=x.ndim - 1)
+    s = 1
+    while s < band:
+        shifted = jnp.concatenate(
+            [jnp.full(x.shape[:-1] + (s,), INF, x.dtype), x[..., :-s]],
+            axis=-1)
+        x = jnp.minimum(x, shifted + s)
+        s *= 2
+    return x
 
 
 from functools import partial
