@@ -69,6 +69,17 @@ def main(argv=None) -> int:
                          "(default: all devices)")
     md.add_argument("--quiet", action="store_true")
 
+    wa = sub.add_parser("warmup",
+                        help="precompile map steps for the given read-"
+                             "length buckets into the persistent compile "
+                             "cache (cold-start mitigation; set "
+                             "JAX_COMPILATION_CACHE_DIR)")
+    wa.add_argument("fasta")
+    wa.add_argument("--lengths", default="256,1024",
+                    help="comma-separated read lengths (default 256,1024)")
+    wa.add_argument("--chunk-b", type=int, default=2048)
+    wa.add_argument("--quiet", action="store_true")
+
     args = ap.parse_args(argv)
 
     if args.cmd == "index":
@@ -76,6 +87,19 @@ def main(argv=None) -> int:
         p = Params(hlen=args.hlen, o_ratio=args.o_ratio, n_seed=args.n_seed)
         build_index(args.fasta, p, use_device=not args.host_only,
                     verbose=not args.quiet)
+        return 0
+
+    if args.cmd == "warmup":
+        from .index.device import load_device_index
+        from .models.mapper import TPUMapper
+        from .utils.log import new_logger
+        log = new_logger(verbose=not args.quiet)
+        idx, meta, mta = load_device_index(args.fasta)
+        mapper = TPUMapper(idx, meta, mta, read_params(),
+                           chunk_b=args.chunk_b)
+        lengths = [int(x) for x in args.lengths.split(",") if x]
+        dt = mapper.warmup(lengths)
+        log.vlog("warmed %d bucket(s) in %.1fs", len(lengths), dt)
         return 0
 
     if args.cmd == "map":

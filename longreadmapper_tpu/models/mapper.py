@@ -175,6 +175,41 @@ class TPUMapper:
             self._steps[L] = (cfg, step)
         return self._steps[L]
 
+    def warmup(self, lengths: Sequence[int] = (256, 1024),
+               concurrent: bool = True) -> float:
+        """Precompile the map step for the given read-length buckets.
+
+        Cold-start mitigation: a full map-step compile costs minutes per
+        (B, L) bucket.  XLA/PJRT compilation releases the GIL (and
+        remote-compile services parallelize server-side), so multiple
+        buckets compile CONCURRENTLY; results land in jax's persistent
+        compilation cache (set JAX_COMPILATION_CACHE_DIR), making every
+        later run's first chunk a cache load instead of a compile.
+        Returns elapsed seconds."""
+        import time
+        from concurrent.futures import ThreadPoolExecutor
+
+        import jax
+
+        t0 = time.time()
+        buckets = sorted({_bucket_len(int(l)) for l in lengths})
+
+        def compile_one(L):
+            cfg, step = self._step_for(L)
+            sds = jax.ShapeDtypeStruct
+            args = (self.idx,
+                    sds((cfg.B, L), jnp.int8), sds((cfg.B, L), jnp.int8),
+                    sds((cfg.B,), jnp.int32), sds((cfg.B,), jnp.int32))
+            step.lower(*args).compile()
+
+        if concurrent and len(buckets) > 1:
+            with ThreadPoolExecutor(max_workers=len(buckets)) as ex:
+                list(ex.map(compile_one, buckets))
+        else:
+            for L in buckets:
+                compile_one(L)
+        return time.time() - t0
+
     def _prepare_chunk(self, reads):
         """Host-side read packing (pure numpy; safe on a worker thread).
 
