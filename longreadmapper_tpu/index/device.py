@@ -105,19 +105,21 @@ def _pack_ctx_words(sa: np.ndarray, text_codes: np.ndarray) -> np.ndarray:
     return out
 
 
-def build_device_index(fmi: FMIndex, lch_kl: np.ndarray, hlen: int,
-                       cat: np.ndarray, mta: list[MtaEntry],
-                       force_pos_dtype: str | None = None,
-                       ) -> tuple[DeviceIndex, IndexMeta]:
-    """Assemble device arrays from host index structures.
+_ARRAY_NAMES = ("packed", "occ_samp", "c4", "sa_ctx", "sa_hi", "lch",
+                "lch_hi", "text_packed", "mta_start", "mta_len")
+_CACHE_VERSION = 1
 
-    `force_pos_dtype='int64'` builds the split-hi genome-scale layout even
-    for small n (the int64-path parity tests use it)."""
+
+def _assemble_host_arrays(fmi: FMIndex, lch_kl: np.ndarray, hlen: int,
+                          cat: np.ndarray, mta: list[MtaEntry],
+                          force_pos_dtype: str | None = None,
+                          ) -> tuple[dict, IndexMeta]:
+    """Derive the device-layout numpy arrays from host index structures
+    (the expensive step at genome scale: _pack_ctx_words + occ sampling
+    over n positions)."""
     n = fmi.length
     pos64 = (n >= 2**31) if force_pos_dtype is None \
         else force_pos_dtype == "int64"
-    if pos64:
-        _require_x64()
     dtype = np.int64 if pos64 else np.int32
     bwt_codes = encode_bytes(fmi.bwt)
     dollar_pos = int(np.nonzero(bwt_codes == 4)[0][0])
@@ -140,44 +142,201 @@ def build_device_index(fmi: FMIndex, lch_kl: np.ndarray, hlen: int,
         lch = kl.astype(np.int32)
         lch_hi = None
 
-    idx = DeviceIndex(
-        packed=jnp.asarray(pack_codes(packed_codes)),
-        occ_samp=jnp.asarray(occ_samples(bwt_codes, dollar_pos)),
-        c4=jnp.asarray(fmi.c4().astype(dtype)),
-        sa_ctx=jnp.asarray(sa_ctx),
-        sa_hi=None if sa_hi is None else jnp.asarray(sa_hi),
-        lch=jnp.asarray(lch),
-        lch_hi=None if lch_hi is None else jnp.asarray(lch_hi),
-        text_packed=jnp.asarray(
-            pack_codes(np.where(text_codes < 4, text_codes, 0))),
-        mta_start=jnp.asarray(np.array([m.offset for m in mta], dtype=dtype)),
-        mta_len=jnp.asarray(np.array([m.seq_len for m in mta], dtype=dtype)),
+    arrays = dict(
+        packed=pack_codes(packed_codes),
+        occ_samp=occ_samples(bwt_codes, dollar_pos),
+        c4=fmi.c4().astype(dtype),
+        sa_ctx=sa_ctx,
+        sa_hi=sa_hi,
+        lch=lch,
+        lch_hi=lch_hi,
+        text_packed=pack_codes(np.where(text_codes < 4, text_codes, 0)),
+        mta_start=np.array([m.offset for m in mta], dtype=dtype),
+        mta_len=np.array([m.seq_len for m in mta], dtype=dtype),
     )
     meta = IndexMeta(n=n, dollar_pos=dollar_pos, hlen=hlen,
                      n_contigs=len(mta), pos_dtype=np.dtype(dtype).name)
-    return idx, meta
+    return arrays, meta
+
+
+def _upload(arrays: dict, meta: IndexMeta) -> DeviceIndex:
+    if meta.pos_dtype == "int64":
+        _require_x64()
+    return DeviceIndex(**{
+        k: (None if arrays[k] is None else jnp.asarray(arrays[k]))
+        for k in _ARRAY_NAMES})
+
+
+def build_device_index(fmi: FMIndex, lch_kl: np.ndarray, hlen: int,
+                       cat: np.ndarray, mta: list[MtaEntry],
+                       force_pos_dtype: str | None = None,
+                       ) -> tuple[DeviceIndex, IndexMeta]:
+    """Assemble device arrays from host index structures.
+
+    `force_pos_dtype='int64'` builds the split-hi genome-scale layout even
+    for small n (the int64-path parity tests use it)."""
+    arrays, meta = _assemble_host_arrays(fmi, lch_kl, hlen, cat, mta,
+                                         force_pos_dtype=force_pos_dtype)
+    if meta.pos_dtype == "int64":
+        _require_x64()
+    return _upload(arrays, meta), meta
 
 
 def _require_x64() -> None:
-    """int64 position arithmetic needs jax x64 mode; enable it if nothing
-    has been traced yet, with a clear error if the backend already ran."""
+    """int64 position arithmetic needs jax x64 mode; enable it globally.
+
+    The flip changes weak-type promotion for every trace AFTER this call;
+    programs traced before it stay pos32.  Mixing both in one process is
+    almost always a bug (a pos64 index fed to a pos32-traced step truncates
+    positions), so if device arrays already exist when the flip happens we
+    warn loudly instead of silently changing semantics.  Best practice:
+    load the pos64 index first, or run pos64 work in its own process
+    (tests/_pos64_worker.py does exactly that)."""
     import jax
     if jax.config.jax_enable_x64:
         return
+    if jax.live_arrays():
+        import warnings
+        warnings.warn(
+            "enabling jax_enable_x64 for a pos64 (>2^31) index AFTER other "
+            "jax arrays/programs were created: earlier-traced steps keep "
+            "pos32 semantics and later traces promote differently. Load "
+            "the pos64 index first or use a separate process.",
+            RuntimeWarning, stacklevel=3)
     jax.config.update("jax_enable_x64", True)
 
 
+def _artifact_fingerprint(genome_path: str) -> dict:
+    """Cheap content fingerprint of the 5 reference artifacts: size plus a
+    blake2b of the first and last 1 MiB of each file.  Editing any artifact
+    (even preserving size) perturbs either an end or the size for every
+    realistic change; full-content hashing would cost minutes at hg19
+    scale, defeating the cache's purpose."""
+    import hashlib
+    import os as _os
+
+    prefix = genome_path + ".cat"
+    fp = {}
+    for path in (genome_path + ".mta", prefix, prefix + ".sa5",
+                 prefix + ".mfi", prefix + ".lch"):
+        st = _os.stat(path)
+        h = hashlib.blake2b(digest_size=16)
+        with open(path, "rb") as f:
+            h.update(f.read(1 << 20))
+            if st.st_size > (1 << 20):
+                f.seek(max(st.st_size - (1 << 20), 1 << 20))
+                h.update(f.read(1 << 20))
+        fp[_os.path.basename(path)] = [st.st_size, h.hexdigest()]
+    return fp
+
+
+def _cache_dir(genome_path: str) -> str:
+    return genome_path + ".cat.devidx"
+
+
+def save_device_cache(genome_path: str, arrays: dict,
+                      meta: IndexMeta) -> None:
+    """Persist the derived device-layout arrays next to the 5 reference
+    artifacts so later loads are I/O-bound freads (the reference's `init`
+    is exactly that, alnmain.c:192-252) instead of minutes of recompute
+    (~64 min measured at a 2.7e9-position index).  Writes are staged into
+    a temp dir and renamed in, so a crashed save never leaves a
+    half-written cache that fingerprint checks would accept."""
+    import json
+    import os as _os
+    import shutil
+    import tempfile
+
+    d = _cache_dir(genome_path)
+    tmp = tempfile.mkdtemp(prefix=".devidx_tmp_",
+                           dir=_os.path.dirname(_os.path.abspath(d)) or ".")
+    try:
+        for k in _ARRAY_NAMES:
+            if arrays[k] is not None:
+                np.save(_os.path.join(tmp, k + ".npy"),
+                        np.asarray(arrays[k]))
+        info = dict(version=_CACHE_VERSION,
+                    meta=dict(n=meta.n, dollar_pos=meta.dollar_pos,
+                              hlen=meta.hlen, n_contigs=meta.n_contigs,
+                              pos_dtype=meta.pos_dtype),
+                    fingerprint=_artifact_fingerprint(genome_path))
+        with open(_os.path.join(tmp, "meta.json"), "w") as f:
+            json.dump(info, f)
+        if _os.path.isdir(d):
+            shutil.rmtree(d)
+        _os.rename(tmp, d)
+    except BaseException:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
+
+
+def _load_device_cache(genome_path: str, force_pos_dtype: str | None
+                       ) -> tuple[dict, IndexMeta] | None:
+    """Load the cached device-layout arrays, or None when absent/stale."""
+    import json
+    import os as _os
+
+    d = _cache_dir(genome_path)
+    mpath = _os.path.join(d, "meta.json")
+    if not _os.path.exists(mpath):
+        return None
+    try:
+        with open(mpath) as f:
+            info = json.load(f)
+    except (OSError, ValueError):
+        return None
+    if info.get("version") != _CACHE_VERSION:
+        return None
+    meta = IndexMeta(**info["meta"])
+    if force_pos_dtype is not None and meta.pos_dtype != force_pos_dtype:
+        return None
+    if info["fingerprint"] != _artifact_fingerprint(genome_path):
+        return None
+    arrays = {}
+    for k in _ARRAY_NAMES:
+        p = _os.path.join(d, k + ".npy")
+        # mmap: jnp.asarray streams straight from the page cache/disk
+        arrays[k] = np.load(p, mmap_mode="r") if _os.path.exists(p) else None
+    if arrays["sa_ctx"] is None:
+        return None
+    return arrays, meta
+
+
 def load_device_index(genome_path: str, force_pos_dtype: str | None = None,
+                      cache: bool = True,
                       ) -> tuple[DeviceIndex, IndexMeta, list[MtaEntry]]:
     """Load the persisted artifact set (.mta/.cat/.sa5/.mfi/.lch) to device —
-    the accaln `init` equivalent (alnmain.c:179-256)."""
+    the accaln `init` equivalent (alnmain.c:179-256).
+
+    With `cache` (default), the derived device-layout arrays are read from
+    `<genome>.cat.devidx/` when its fingerprint matches the artifacts, and
+    written there after a from-artifacts build otherwise — turning genome-
+    scale index load from O(n) recompute into O(n) sequential fread."""
+    from ..utils.log import new_logger
+
+    log = new_logger()
+    mta = load_mta(genome_path + ".mta")
+    if cache:
+        hit = _load_device_cache(genome_path, force_pos_dtype)
+        if hit is not None:
+            arrays, meta = hit
+            log.vlog(f"device index cache hit: {_cache_dir(genome_path)}")
+            return _upload(arrays, meta), meta, mta
+
     from ..formats.lch import read_lch
 
     prefix = genome_path + ".cat"
     fmi = FMIndex.read(prefix, with_sa=True)
     hlen, kl = read_lch(prefix + ".lch")
     cat = load_cat(prefix)
-    mta = load_mta(genome_path + ".mta")
-    idx, meta = build_device_index(fmi, kl, hlen, cat, mta,
-                                   force_pos_dtype=force_pos_dtype)
-    return idx, meta, mta
+    arrays, meta = _assemble_host_arrays(fmi, kl, hlen, cat, mta,
+                                         force_pos_dtype=force_pos_dtype)
+    if cache and force_pos_dtype is None:
+        # forced layouts are a parity-test affordance; caching one would
+        # shadow the natural layout for every later load
+        try:
+            save_device_cache(genome_path, arrays, meta)
+            log.vlog(f"device index cache written: {_cache_dir(genome_path)}")
+        except OSError as e:
+            log.vlog(f"device index cache write failed (continuing): {e}")
+    return _upload(arrays, meta), meta, mta

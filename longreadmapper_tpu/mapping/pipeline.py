@@ -558,7 +558,12 @@ def make_map_step(cfg: MapperConfig):
                                     gact_traceback_v)
             T = cfg.gact_tile
             ckpt, wcol = gact_forward(q, t, T, W, band)
-            run_bytes = gact_traceback_v(q, t, ckpt, lens, T, W, band)
+            run_bytes, run_sat = gact_traceback_v(q, t, ckpt, lens,
+                                                  T, W, band)
+            # a saturated shared run buffer can corrupt ANY lane's CIGAR
+            # (ops/gact.gact_traceback_v) — surface it exactly like the
+            # seed-vote overflow so no silent truncation path remains
+            overflow = overflow | run_sat
             # real (non-pad) run bytes for an in-limit read: word
             # fragments (L/16 + one boundary split per tile + one per
             # edit) + one edit byte per edit, edits <= ed <= W

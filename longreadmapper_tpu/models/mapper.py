@@ -155,11 +155,16 @@ class TPUMapper:
         from jax.sharding import NamedSharding, PartitionSpec as P
         sh = NamedSharding(self.mesh, P("data"))
         idx_map = sh.addressable_devices_indices_map((B,))
-        starts = [s[0].start or 0 for s in idx_map.values()]
-        stops = [B if s[0].stop is None else s[0].stop
-                 for s in idx_map.values()]
-        lo, hi = min(starts), max(stops)
-        assert (hi - lo) * len(idx_map) >= B, "non-contiguous local rows"
+        slices = {((s[0].start or 0),
+                   B if s[0].stop is None else s[0].stop)
+                  for s in idx_map.values()}
+        lo = min(s for s, _ in slices)
+        hi = max(e for _, e in slices)
+        # the deduped local slices must exactly tile [lo, hi): an
+        # interleaved ownership layout (e.g. rows [0,256)+[512,768)) would
+        # silently pack the wrong global rows into the local buffer
+        assert sum(e - s for s, e in slices) == hi - lo, \
+            f"non-contiguous local rows: {sorted(slices)}"
         return lo, hi
 
     def _step_for(self, L: int):

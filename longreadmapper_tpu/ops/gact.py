@@ -162,9 +162,16 @@ def gact_traceback_v(q, t, ckpt, lens, T: int, W: int, band: int):
     T + W + 1 (at 50 kb / W=5000 that bound exploded to ~540k sequential
     steps and ~20 MB of padded per-cell ops D2H; runs are ~40x smaller).
 
-    Returns runs (B, gact_runs_cols(L, T, W)) int8 — (count << 2) | op
-    bytes in reverse path order with pad gaps (op 3) between tiles; same
-    byte format as device_traceback_v, so host RLE merging is shared.
+    Returns (runs, saturated): runs (B, gact_runs_cols(L, T, W)) int8 —
+    (count << 2) | op bytes in reverse path order with pad gaps (op 3)
+    between tiles; same byte format as device_traceback_v, so host RLE
+    merging is shared.  `saturated` (scalar bool) is True when the shared
+    write pointer hit the last buffer row MORE than once — the second and
+    later writes overwrite that row for ALL lanes, so every CIGAR in the
+    batch is suspect; callers must OR it into the per-read overflow flag
+    (mirroring the seed-vote overflow reporting) instead of silently
+    emitting corrupt CIGARs.  Reachable only when several lanes stack
+    near-worst-case edit clusters in distinct tiles (see gact_runs_cols).
     """
     B, L = q.shape
     K = L // T
@@ -180,7 +187,7 @@ def gact_traceback_v(q, t, ckpt, lens, T: int, W: int, band: int):
     tile_bound = G + 2 * W + 4
 
     def tile(carry, kk):
-        i, j, done, ptr, buf = carry
+        i, j, done, ptr, nsat, buf = carry
         k = K - 1 - kk
         lo = k * T
 
@@ -192,7 +199,7 @@ def gact_traceback_v(q, t, ckpt, lens, T: int, W: int, band: int):
         Vf = vdirs.reshape(-1)
 
         def wstep(state):
-            it, i, j, done, ptr, buf = state
+            it, i, j, done, ptr, nsat, buf = state
             in_tile = (i > lo) | ((k == 0) & (i == 0))
             active = ~done & in_tile
             d = jnp.clip(j - i + W, 0, band - 1)
@@ -223,24 +230,28 @@ def gact_traceback_v(q, t, ckpt, lens, T: int, W: int, band: int):
             out = jnp.stack([b1, b2], axis=1).astype(jnp.int8)
             buf = lax.dynamic_update_slice(
                 buf, out[None], (ptr, jnp.int32(0), jnp.int32(0)))
+            # count writes that LAND on the clamped last row: the first is
+            # legitimate, every later one clobbers it for all lanes
+            nsat = nsat + (ptr == n_rows - 1).astype(dt)
             return (it + 1, i3, j3, done3,
-                    jnp.minimum(ptr + 1, n_rows - 1), buf)
+                    jnp.minimum(ptr + 1, n_rows - 1), nsat, buf)
 
         def wcond(state):
-            it, i, j, done, ptr, buf = state
+            it, i, j, done, ptr, nsat, buf = state
             alive = ~done & ((i > lo) | ((k == 0) & (j > 0)))
             return (it < tile_bound) & jnp.any(alive)
 
-        _, i, j, done, ptr, buf = lax.while_loop(
-            wcond, wstep, (jnp.int32(0), i, j, done, ptr, buf))
-        return (i, j, done, ptr, buf), None
+        _, i, j, done, ptr, nsat, buf = lax.while_loop(
+            wcond, wstep, (jnp.int32(0), i, j, done, ptr, nsat, buf))
+        return (i, j, done, ptr, nsat, buf), None
 
     zb8 = (lens32 * 0).astype(jnp.int8)
     buf0 = jnp.full((n_rows, B, 2), OP_PAD, jnp.int8) + zb8[None, :, None]
-    carry0 = (lens32, lens32, lens32 <= 0, jnp.int32(0), buf0)
-    (_, _, _, _, buf), _ = lax.scan(tile, carry0,
-                                    jnp.arange(K, dtype=dt))
-    return jnp.transpose(buf, (1, 0, 2)).reshape(B, -1)
+    nsat0 = jnp.sum(lens32) * 0
+    carry0 = (lens32, lens32, lens32 <= 0, jnp.int32(0), nsat0, buf0)
+    (_, _, _, _, nsat, buf), _ = lax.scan(tile, carry0,
+                                          jnp.arange(K, dtype=dt))
+    return jnp.transpose(buf, (1, 0, 2)).reshape(B, -1), nsat >= 2
 
 
 @partial(jax.jit, static_argnames=("T", "W", "band"))

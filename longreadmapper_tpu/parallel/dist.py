@@ -106,6 +106,7 @@ def make_sharded_map_step(cfg: MapperConfig, mesh: Mesh,
             codes = jax.lax.with_sharding_constraint(codes, data_sh)
             codes_rc = jax.lax.with_sharding_constraint(codes_rc, data_sh)
             lens = jax.lax.with_sharding_constraint(lens, data_sh)
+            limits = jax.lax.with_sharding_constraint(limits, data_sh)
             out = inner(idx, codes, codes_rc, lens, limits)
             out = {k: jax.lax.with_sharding_constraint(v, data_sh)
                    for k, v in out.items()}

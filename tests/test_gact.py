@@ -163,11 +163,54 @@ def test_gact_traceback_v_matches_cellwalk(T):
     q, t, lens = make_pair(rng, B, L)
     ckpt, wcol = gact_forward(q, t, T, W, band)
     ops_cell = np.asarray(gact_traceback(q, t, ckpt, lens, T, W, band))
-    runs = np.asarray(gact_traceback_v(q, t, ckpt, lens, T, W, band))
+    runs, sat = gact_traceback_v(q, t, ckpt, lens, T, W, band)
+    runs = np.asarray(runs)
+    assert not bool(sat)
     for b in range(B):
         want = _strip(ops_cell[b])[::-1]     # forward order
         got = _runs_to_ops(runs[b])
         np.testing.assert_array_equal(got, want)
+
+
+def test_gact_run_buffer_saturation_flagged():
+    """Adversarial clustered edits: a query whose alignment weaves a ~W-edit
+    indel cluster in EVERY tile overruns the shared run buffer
+    (gact_runs_cols budgets 4W of edit rows total); the walk must raise the
+    saturation flag instead of silently emitting corrupted CIGARs
+    (round-2 advisor medium, ops/gact.py)."""
+    from longreadmapper_tpu.ops.gact import (gact_forward, gact_runs_cols,
+                                             gact_traceback_v)
+
+    rng = np.random.default_rng(11)
+    B, L, T, W, band = 4, 2048, 128, 32, 128
+    C = 24          # indel-cluster width: < W so the weave stays in band,
+                    # and cheap enough that the DP prefers it to mismatches
+    K = L // T
+    # target = query with C random chars INSERTED at each even tile start
+    # and C DELETED at each odd tile start: the optimal path pays ~C
+    # I/D rows in every tile (verified ed == K*C below)
+    qs = rng.integers(0, 4, 2 * L).astype(np.int8)
+    t_parts, i = [], 0
+    for k in range(K):
+        if k % 2 == 0:
+            t_parts.append(rng.integers(0, 4, C).astype(np.int8))
+            t_parts.append(qs[i:i + T - C])
+            i += T - C
+        else:
+            i += C                      # deletion: skip C query chars
+            t_parts.append(qs[i:i + T])
+            i += T
+    t_row = np.concatenate(t_parts)[:L]
+    q = np.broadcast_to(qs[:L], (B, L)).copy()
+    t = np.broadcast_to(t_row, (B, L)).copy()
+    lens = np.full(B, L, np.int32)
+    # sanity: the engineered worst case really exceeds the row budget
+    assert K * C > gact_runs_cols(L, T, W) // 2 - L // 16
+    ckpt, wcol = gact_forward(jnp.asarray(q), jnp.asarray(t), T, W, band)
+    assert int(np.asarray(wcol)[L, 0]) == K * C  # the DP took the weave
+    _, sat = gact_traceback_v(jnp.asarray(q), jnp.asarray(t), ckpt,
+                              jnp.asarray(lens), T, W, band)
+    assert bool(sat)
 
 
 @pytest.mark.parametrize("L,n_edits", [(10240, 40), (50176, 150)])
