@@ -129,9 +129,12 @@ class TPUMapper:
         else:
             self.idx = idx
         self._steps = {}
+        self._retry_steps = {}
         # reads whose per-phase votes exceeded the compaction budget (tail
         # votes dropped — raise Params.vote_budget for exact handling)
         self.overflow_reads = 0
+        # reads re-run through the exact-slots tier (_retry_overflow)
+        self.retried_reads = 0
         # global mapped-read count accumulated from the device-side
         # collective counter (mesh mode only; single mode counts on host)
         self.valid_global = 0
@@ -172,13 +175,30 @@ class TPUMapper:
             cfg = MapperConfig.from_params(self.params, self.meta,
                                            self._b_for(L), L)
             if self.mesh is not None:
+                from dataclasses import replace
+
                 from ..parallel.dist import make_sharded_map_step
+
+                # the overflow-retry tier is a host-local affair; mesh
+                # runs stay single-tier on the full budget
+                cfg = replace(cfg, exact_slots=True)
                 step = make_sharded_map_step(cfg, self.mesh,
                                              shard_tables=self.shard_tables)
             else:
                 step = make_map_step(cfg)
             self._steps[L] = (cfg, step)
         return self._steps[L]
+
+    def _retry_step_for(self, L: int):
+        """Exact-slots (full vote budget) step for overflow-flagged reads,
+        at a small batch size — compiled lazily, used only when the compact
+        tier's budget was exceeded (mapping/pipeline.MapperConfig.vote_slots)."""
+        if L not in self._retry_steps:
+            from dataclasses import replace
+            cfg, _ = self._step_for(L)
+            cfg_r = replace(cfg, B=min(cfg.B, 256), exact_slots=True)
+            self._retry_steps[L] = (cfg_r, make_map_step(cfg_r))
+        return self._retry_steps[L]
 
     def warmup(self, lengths: Sequence[int] = (256, 1024),
                concurrent: bool = True) -> float:
@@ -228,47 +248,51 @@ class TPUMapper:
         cfg, _ = self._step_for(L)
         row_lo, row_hi = self._local_rows(cfg.B)
         n_pack = row_hi - row_lo
-        from ..formats.fastx import _encode_lut
-        lut = _encode_lut()
-
         prepped = []
         for s in range(0, max(n_real, 1), cfg.B):
             part = reads[s + row_lo:s + row_hi]
-            # batch encode: one raw-byte matrix, one LUT pass, one
-            # vectorized complement; only the per-read memcpys loop
-            raw = np.zeros((n_pack, L), dtype=np.uint8)
-            lens = np.zeros(n_pack, dtype=np.int32)
-            n_part = len(part)
-            uniform = n_part > 0 and all(
-                len(s) == len(part[0][1]) for _, s, _ in part)
-            if uniform:
-                # uniform-length fast path: one join + one frombuffer
-                L0 = len(part[0][1])
-                raw[:n_part, :L0] = np.frombuffer(
-                    "".join(s for _, s, _ in part).encode(),
-                    np.uint8).reshape(n_part, L0)
-                lens[:n_part] = L0
-            else:
-                for i, (_, seq, _) in enumerate(part):
-                    raw[i, :len(seq)] = np.frombuffer(seq.encode(), np.uint8)
-                    lens[i] = len(seq)
-            codes = lut[raw].astype(np.int8)
-            in_read = np.arange(L)[None, :] < lens[:, None]
-            codes[~in_read] = 4
-            comp = np.where(codes < 4, 3 - codes, codes)[:, ::-1]
-            codes_rc = np.full((n_pack, L), 4, dtype=np.int8)
-            if uniform:
-                L0 = len(part[0][1]) if n_part else 0
-                codes_rc[:n_part, :L0] = comp[:n_part, L - L0:]
-            else:
-                for i in range(n_part):
-                    n_i = int(lens[i])
-                    codes_rc[i, :n_i] = comp[i, L - n_i:]
-            # (int)(ERROR_RATE*len*2) in C double semantics (alnmain.c:428)
-            limits = ((self.params.error_rate * lens.astype(np.float64)) * 2
-                      ).astype(np.int32)
-            prepped.append((part, codes, codes_rc, lens, limits))
+            prepped.append((part,) + self._pack_reads(part, L, n_pack))
         return L, prepped
+
+    def _pack_reads(self, part, L: int, n_pack: int):
+        """Encode up to n_pack (name, seq, qual) reads into device buffers:
+        (codes, codes_rc, lens, limits)."""
+        from ..formats.fastx import _encode_lut
+        lut = _encode_lut()
+        # batch encode: one raw-byte matrix, one LUT pass, one
+        # vectorized complement; only the per-read memcpys loop
+        raw = np.zeros((n_pack, L), dtype=np.uint8)
+        lens = np.zeros(n_pack, dtype=np.int32)
+        n_part = len(part)
+        uniform = n_part > 0 and all(
+            len(s) == len(part[0][1]) for _, s, _ in part)
+        if uniform:
+            # uniform-length fast path: one join + one frombuffer
+            L0 = len(part[0][1])
+            raw[:n_part, :L0] = np.frombuffer(
+                "".join(s for _, s, _ in part).encode(),
+                np.uint8).reshape(n_part, L0)
+            lens[:n_part] = L0
+        else:
+            for i, (_, seq, _) in enumerate(part):
+                raw[i, :len(seq)] = np.frombuffer(seq.encode(), np.uint8)
+                lens[i] = len(seq)
+        codes = lut[raw].astype(np.int8)
+        in_read = np.arange(L)[None, :] < lens[:, None]
+        codes[~in_read] = 4
+        comp = np.where(codes < 4, 3 - codes, codes)[:, ::-1]
+        codes_rc = np.full((n_pack, L), 4, dtype=np.int8)
+        if uniform:
+            L0 = len(part[0][1]) if n_part else 0
+            codes_rc[:n_part, :L0] = comp[:n_part, L - L0:]
+        else:
+            for i in range(n_part):
+                n_i = int(lens[i])
+                codes_rc[i, :n_i] = comp[i, L - n_i:]
+        # (int)(ERROR_RATE*len*2) in C double semantics (alnmain.c:428)
+        limits = ((self.params.error_rate * lens.astype(np.float64)) * 2
+                  ).astype(np.int32)
+        return codes, codes_rc, lens, limits
 
     def _dispatch_chunk(self, prepared):
         """Upload + queue the device steps (async; main thread)."""
@@ -339,8 +363,55 @@ class TPUMapper:
                                           & 3 != 3).any()):
                 out["ops"] = np.concatenate(
                     [out["ops"], jax.device_get(tail)], axis=1)
+            out = self._retry_overflow(cfg, reads, out)
             fetched.append((cfg, reads, lens, out))
         return fetched
+
+    def _retry_overflow(self, cfg: MapperConfig, reads, out):
+        """Re-map overflow-flagged reads through the exact-slots tier.
+
+        The compact tier's results are bit-identical to the full vote
+        budget for every read whose executed phases fit its slots (same
+        votes, same order); flagged reads re-run on the full budget and
+        their rows (meta incl. the REAL overflow flag, CIGAR run bytes)
+        are spliced in.  Random-ish genomes essentially never flag; heavy
+        repeats cost one extra small dispatch per affected chunk."""
+        if self.mesh is not None or cfg.exact_slots:
+            return out
+        import jax
+
+        meta = np.asarray(out["meta"])
+        n = len(reads)
+        flagged = np.flatnonzero(meta[:n, cfg.meta_words - 1] != 0)
+        if flagged.size == 0:
+            return out
+        cfg_r, step_r = self._retry_step_for(cfg.L)
+        meta = meta.copy()
+        ops = np.asarray(out["ops"]).copy()
+        for s in range(0, flagged.size, cfg_r.B):
+            sel = flagged[s:s + cfg_r.B]
+            part = [reads[i] for i in sel]
+            codes, codes_rc, lens_r, limits = self._pack_reads(
+                part, cfg.L, cfg_r.B)
+            dc, drc, dl, dlim = jax.device_put((codes, codes_rc, lens_r,
+                                                limits))
+            o = step_r(self.idx, dc, drc, dl, dlim)
+            tail_r = o.pop("ops_tail")
+            blob = np.asarray(o["blob"])
+            mb = 4 * cfg_r.meta_words
+            meta_r = np.ascontiguousarray(blob[:, :mb]).view(np.int32)
+            ops_r = blob[:, mb:]
+            if ops_r.shape[1] and bool((ops_r[:, -1] & 3 != 3).any()):
+                ops_r = np.concatenate([ops_r, np.asarray(tail_r)], axis=1)
+            if ops_r.shape[1] > ops.shape[1]:
+                pad = np.full((ops.shape[0], ops_r.shape[1] - ops.shape[1]),
+                              3, np.int8)
+                ops = np.concatenate([ops, pad], axis=1)
+            meta[sel] = meta_r[:sel.size]
+            ops[sel] = 3          # blank any leftover compact-tier bytes
+            ops[sel, :ops_r.shape[1]] = ops_r[:sel.size]
+        self.retried_reads += int(flagged.size)
+        return dict(out, meta=meta, ops=ops)
 
     def _assemble_chunk(self, fetched) -> List[MapRecord]:
         recs: List[MapRecord] = []

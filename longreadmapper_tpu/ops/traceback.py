@@ -60,9 +60,13 @@ def traceback_v_iters(L: int, W: int) -> int:
     return -(-L // 16) + 2 * W + 4
 
 
-def device_traceback_v(vdirs, lens, L: int, W: int):
+def device_traceback_v(vdirs, lens, L: int, W: int,
+                       band_major: bool = False):
     """Run-consuming CIGAR walk over VERTICALLY packed direction words
-    (ops/wavefront.banded_nw_dirs_v).
+    (ops/wavefront.banded_nw_dirs_v, or with band_major=True the Pallas
+    kernel's transposed emission ops/band_pallas.banded_nw_dirs_vt —
+    vdirs (G, band, B) instead of (G, B, band); the gather cost is
+    identical either way, ~25 ns/element independent of shape).
 
     One gather fetches the 16-row word at the walk's current (row-group,
     band column); a whole M-run inside it collapses to one emitted
@@ -81,7 +85,10 @@ def device_traceback_v(vdirs, lens, L: int, W: int):
     (count << 2) | op with op codes 0=M 1=I 2=D; bytes with op 3 or
     count 0 are padding.
     """
-    G, B, band = vdirs.shape
+    if band_major:
+        G, band, B = vdirs.shape
+    else:
+        G, B, band = vdirs.shape
     Vf = vdirs.reshape(-1)
     bidx = jnp.arange(B, dtype=jnp.int32)
     n_iter = traceback_v_iters(L, W)
@@ -92,8 +99,9 @@ def device_traceback_v(vdirs, lens, L: int, W: int):
         d = jnp.clip(j - i + W, 0, band - 1)
         g = jnp.maximum(i - 1, 0) >> 4
         r = jnp.maximum(i - 1, 0) & 15
-        word = jnp.take(Vf, jnp.clip((g * B + bidx) * band + d,
-                                     0, G * B * band - 1))
+        flat = ((g * band + d) * B + bidx if band_major
+                else (g * B + bidx) * band + d)
+        word = jnp.take(Vf, jnp.clip(flat, 0, G * B * band - 1))
         # M-run length at bit-pair r going down: shift cell r to the top,
         # count leading zero pairs (M == 0b00)
         z = (word.astype(jnp.uint32) << (2 * (15 - r)).astype(jnp.uint32))
