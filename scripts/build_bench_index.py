@@ -28,6 +28,14 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
 
 import numpy as np
 
+# host-only build: force the CPU backend IN-PROCESS — the axon
+# sitecustomize force-selects the TPU platform even when
+# JAX_PLATFORMS=cpu is in the env (tests/conftest.py), and a build
+# process must never hold the single TPU tunnel for an hour
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
 
 def log(*a):
     print(f"[{time.strftime('%H:%M:%S')}]", *a, file=sys.stderr, flush=True)
