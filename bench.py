@@ -106,6 +106,7 @@ def main():
     # drifts by up to 2x between runs
     best_dt, valid = None, 0
     for _ in range(PASSES):
+        mapper.phase_s = {k: 0.0 for k in mapper.phase_s}
         t0 = time.time()
         total = valid = 0
         chunk_iter = (reads[s:s + CHUNK_B]
@@ -114,6 +115,8 @@ def main():
             valid += sum(r.valid for r in recs)
             total += len(recs)
         dt = time.time() - t0
+        ph = " ".join(f"{k}={v:.2f}s" for k, v in mapper.phase_s.items())
+        log(f"pass: {dt:.2f}s ({total / dt:.0f} reads/s) host phases: {ph}")
         best_dt = dt if best_dt is None else min(best_dt, dt)
     dt = best_dt
     rps = total / dt

@@ -43,6 +43,7 @@ into `vote_budget` slots (overflow flagged per read).
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 
 import jax
@@ -108,6 +109,12 @@ class MapperConfig:
     gact_tile: int = 512     # row-tile for the checkpointed long-read path
     gact_threshold: int = 2048   # buckets longer than this use ops/gact
     ops_head_cols: int = 128     # eagerly-fetched CIGAR run bytes per read
+    # short-read band DP via the Pallas band-on-sublanes kernel
+    # (ops/band_pallas) instead of the XLA scan; bit-identical outputs
+    # (tests/test_band_pallas.py), TPU backend only.  Env default so the
+    # flag reaches the compiled step without new CLI surface:
+    # LRM_PALLAS_DIRS=1.
+    pallas_dirs: bool = False
 
     @property
     def use_gact(self) -> bool:
@@ -175,7 +182,8 @@ class MapperConfig:
             hlen=meta.hlen, n=meta.n,
             dollar_pos=meta.dollar_pos, accept_score=p.accept_score,
             error_rate=p.error_rate, vote_budget=p.vote_budget,
-            pos64=meta.pos_dtype == "int64")
+            pos64=meta.pos_dtype == "int64",
+            pallas_dirs=os.environ.get("LRM_PALLAS_DIRS", "") == "1")
 
 
 def _position_tables(cfg: MapperConfig, codes):
@@ -595,8 +603,17 @@ def make_map_step(cfg: MapperConfig):
             from ..ops.wavefront import banded_nw_dirs_v
             from ..ops.traceback import device_traceback_v, \
                 traceback_v_iters
-            vdirs, wcol = banded_nw_dirs_v(q, t, W, band)
-            run_bytes = device_traceback_v(vdirs, lens, L, W)
+            if cfg.pallas_dirs:
+                # band-on-sublanes Pallas kernel (ops/band_pallas):
+                # bit-identical words in band-major layout, the walk's
+                # gather cost is layout-independent
+                from ..ops.band_pallas import banded_nw_dirs_vt
+                vdirsT, wcol = banded_nw_dirs_vt(q, t, W, band)
+                run_bytes = device_traceback_v(vdirsT, lens, L, W,
+                                               band_major=True)
+            else:
+                vdirs, wcol = banded_nw_dirs_v(q, t, W, band)
+                run_bytes = device_traceback_v(vdirs, lens, L, W)
             # real run bytes for an in-limit read: <= L/16 + 2W + slack
             K = traceback_v_iters(L, W) + 4
         ed_raw = wcol[lens, jnp.arange(B)].astype(jnp.int32)

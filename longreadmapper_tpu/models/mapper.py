@@ -138,6 +138,13 @@ class TPUMapper:
         # global mapped-read count accumulated from the device-side
         # collective counter (mesh mode only; single mode counts on host)
         self.valid_global = 0
+        # wall-clock per host pipeline phase (seconds, cumulative) — the
+        # e2e-vs-device-gap ledger: prepare = read packing, dispatch =
+        # H2D + step enqueue, fetch = blocking on device outputs (device
+        # time NOT overlapped by host work shows up here), assemble =
+        # SAM/record building
+        self.phase_s = {"prepare": 0.0, "dispatch": 0.0, "fetch": 0.0,
+                        "assemble": 0.0}
 
     def _b_for(self, L: int) -> int:
         """Device batch for a length bucket: scale B down for long reads so
@@ -334,7 +341,14 @@ class TPUMapper:
         """Dispatch the device step for up to B reads WITHOUT blocking.
         Pair with collect_chunk.  In mesh mode `reads` is the global
         chunk; the returned records cover only this process's row slice."""
-        return self._dispatch_chunk(self._prepare_chunk(reads))
+        import time
+        t0 = time.perf_counter()
+        prepared = self._prepare_chunk(reads)
+        t1 = time.perf_counter()
+        out = self._dispatch_chunk(prepared)
+        self.phase_s["prepare"] += t1 - t0
+        self.phase_s["dispatch"] += time.perf_counter() - t1
+        return out
 
     def _fetch_chunk(self, pending):
         """Block on the device outputs; returns numpy-materialized parts.
@@ -423,7 +437,14 @@ class TPUMapper:
 
     def collect_chunk(self, pending) -> List[MapRecord]:
         """Block on a submit_chunk handle and assemble MapRecords."""
-        return self._assemble_chunk(self._fetch_chunk(pending))
+        import time
+        t0 = time.perf_counter()
+        fetched = self._fetch_chunk(pending)
+        t1 = time.perf_counter()
+        recs = self._assemble_chunk(fetched)
+        self.phase_s["fetch"] += t1 - t0
+        self.phase_s["assemble"] += time.perf_counter() - t1
+        return recs
 
     def map_chunk(self, reads: Sequence[Tuple[str, str, Optional[str]]]
                   ) -> List[MapRecord]:
@@ -471,14 +492,20 @@ class TPUMapper:
         n_valid) — the write-path twin of collect_chunk that skips
         MapRecord objects entirely (PART 3+4, alnmain.c:458-527; the
         per-read record loop was the biggest host post-processing cost)."""
+        import time
+        t0 = time.perf_counter()
+        fetched = self._fetch_chunk(pending)
+        t1 = time.perf_counter()
         text, total, valid = [], 0, 0
-        for cfg, reads, lens, out in self._fetch_chunk(pending):
+        for cfg, reads, lens, out in fetched:
             self.overflow_reads += int(
                 out["meta"][:len(reads), cfg.meta_words - 1].sum())
             t, v = self._postprocess_sam(cfg, reads, lens, out)
             text.append(t)
             total += len(reads)
             valid += v
+        self.phase_s["fetch"] += t1 - t0
+        self.phase_s["assemble"] += time.perf_counter() - t1
         return "".join(text), total, valid
 
     def map_stream_sam(self, chunk_iter):
