@@ -85,7 +85,7 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.lrm_myers_distance.argtypes = [
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
-            ctypes.c_int, ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int, ctypes.c_int64, ctypes.POINTER(ctypes.c_int64),
         ]
         _lib = lib
         HAVE_NATIVE = True
@@ -339,13 +339,17 @@ def _affine_align_py(q, t, W, match, mismatch, gap_open, gap_ext):
     return best, (i, bi, j, bj), ops
 
 
-def myers_distance(q: np.ndarray, t: np.ndarray, mode: str = "NW"
-                   ) -> Tuple[int, int]:
+def myers_distance(q: np.ndarray, t: np.ndarray, mode: str = "NW",
+                   k: int = -1) -> Tuple[int, int]:
     """Myers bit-parallel edit distance (the edlib-equivalent scorer).
 
     mode: 'NW' (global), 'SHW' (free target suffix), 'HW' (free target
     prefix and suffix).  Returns (distance, end) — end = 1-based target
     position where the best alignment ends (n for NW).
+
+    k >= 0 bounds the search (edlib.h:225's k): blocks provably > k are
+    skipped and the scan aborts early once no <= k outcome is reachable;
+    returns (-1, 0) when the distance exceeds k.
     """
     modes = {"NW": 0, "SHW": 1, "HW": 2}
     q = np.ascontiguousarray(q, dtype=np.uint8)
@@ -355,15 +359,18 @@ def myers_distance(q: np.ndarray, t: np.ndarray, mode: str = "NW"
         out2 = np.zeros(2, dtype=np.int64)
         lib.lrm_myers_distance(
             _as_u8_ptr(q), q.shape[0], _as_u8_ptr(t), t.shape[0],
-            modes[mode], out2.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+            modes[mode], k,
+            out2.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
         return int(out2[0]), int(out2[1])
-    return _myers_py(q, t, modes[mode])
+    return _myers_py(q, t, modes[mode], k)
 
 
-def _myers_py(q, t, mode):
+def _myers_py(q, t, mode, k=-1):
     m, n = q.shape[0], t.shape[0]
+    kb = k if k >= 0 else None
     if m == 0:
-        return (n, n) if mode == 0 else (0, 0)
+        d, pos = ((n, n) if mode == 0 else (0, 0))
+        return (-1, 0) if kb is not None and d > kb else (d, pos)
     prev = np.arange(m + 1, dtype=np.int64)
     best, pos = prev[m], 0
     for j in range(1, n + 1):
@@ -375,12 +382,54 @@ def _myers_py(q, t, mode):
         prev = cur
         if mode != 0 and cur[m] < best:
             best, pos = cur[m], j
-    if mode == 0:
-        return int(prev[m]), n
-    return int(best), pos
+        if kb is not None:
+            # the last-row score moves by at most 1 per remaining column
+            reach = cur[m] - (n - j)
+            if (reach if mode == 0 else min(best, reach)) > kb:
+                return -1, 0
+    d = int(prev[m]) if mode == 0 else int(best)
+    pos = n if mode == 0 else pos
+    return (-1, 0) if kb is not None and d > kb else (d, pos)
 
 
-def myers_align(q: np.ndarray, t: np.ndarray, mode: str = "HW"):
+def ops_extended(q: np.ndarray, t: np.ndarray, t_start: int,
+                 ops: List[Tuple[int, str]]) -> List[Tuple[int, str]]:
+    """Split M runs into '='/'X' runs by walking the path against the
+    sequences — the EDLIB_CIGAR_EXTENDED format
+    (/root/reference/edlib/edlib.h:249 `edlibAlignmentToCigar`).  N (code
+    >= 4) never counts as a match, mirroring the scorer's Peq build."""
+    out: List[Tuple[int, str]] = []
+
+    def push(ln, op):
+        if ln == 0:
+            return
+        if out and out[-1][1] == op:
+            out[-1] = (out[-1][0] + ln, op)
+        else:
+            out.append((ln, op))
+
+    i, j = 0, t_start
+    for ln, op in ops:
+        if op == "I":
+            push(ln, "I")
+            i += ln
+        elif op == "D":
+            push(ln, "D")
+            j += ln
+        else:  # M: compare base by base, run-length the =/X stretches
+            eq = (q[i:i + ln] == t[j:j + ln]) & (q[i:i + ln] < 4)
+            s = 0
+            for e in range(1, ln + 1):
+                if e == ln or eq[e] != eq[s]:
+                    push(e - s, "=" if eq[s] else "X")
+                    s = e
+            i += ln
+            j += ln
+    return out
+
+
+def myers_align(q: np.ndarray, t: np.ndarray, mode: str = "HW",
+                k: int = -1, extended: bool = False):
     """edlib-equivalent alignment with PATH: (distance, t_start, t_end, ops).
 
     The reference vendors edlib as its fallback/rescoring aligner
@@ -404,15 +453,23 @@ def myers_align(q: np.ndarray, t: np.ndarray, mode: str = "HW"):
     Returns (distance, t_start, t_end, ops) with the 0-based half-open
     target window [t_start, t_end) and run-length ops [(len, op), ...]
     covering q (ops is [] for an empty query).
+
+    k >= 0 bounds the search (edlib's k): returns (-1, 0, 0, []) when the
+    distance exceeds k.  extended=True emits '='/'X' runs instead of 'M'
+    (EDLIB_CIGAR_EXTENDED, edlib.h:249).
     """
     q = np.ascontiguousarray(q, dtype=np.uint8)
     t = np.ascontiguousarray(t, dtype=np.uint8)
     m, n = q.shape[0], t.shape[0]
     if m == 0:
         if mode == "NW":
+            if 0 <= k < n:
+                return -1, 0, 0, []
             return n, 0, n, ([(n, "D")] if n else [])
         return 0, 0, 0, []
-    ed, end = myers_distance(q, t, mode)
+    ed, end = myers_distance(q, t, mode, k)
+    if ed < 0:
+        return -1, 0, 0, []
     if mode == "NW":
         start, end = 0, n
     elif mode == "SHW":
@@ -424,4 +481,6 @@ def myers_align(q: np.ndarray, t: np.ndarray, mode: str = "HW"):
     W = max(ed + 1, abs((end - start) - m) + 1)
     ed_b, ops = banded_align(q, t[start:end], W)
     assert ed_b == ed, (ed, ed_b, mode)
+    if extended:
+        ops = ops_extended(q, t, start, ops)
     return ed, start, end, ops

@@ -201,3 +201,91 @@ def test_myers_align_hw_planted():
     assert start == 100 and end == 160
     edits, qc, tc = _apply_ops(q, t[start:end], ops)
     assert (edits, qc, tc) == (2, len(q), 60)
+
+
+@pytest.mark.parametrize("mode", ["NW", "SHW", "HW"])
+@pytest.mark.parametrize("seed", range(6))
+def test_myers_k_bounded(mode, seed):
+    """k-bounded search (edlib.h:225's k): exact distance when d <= k,
+    (-1, 0) when d > k, across the band/early-abort block machinery."""
+    rng = np.random.default_rng(seed)
+    m = int(rng.integers(3, 200))
+    n = int(rng.integers(3, 260))
+    q = rng.integers(0, 4, m).astype(np.uint8)
+    t = rng.integers(0, 4, n).astype(np.uint8)
+    d, pos = native.myers_distance(q, t, mode)
+    for k in (0, 1, d - 1, d, d + 1, d + 17):
+        if k < 0:
+            continue
+        dk, pk = native.myers_distance(q, t, mode, k=k)
+        if d <= k:
+            assert (dk, pk) == (d, pos), (mode, k)
+        else:
+            assert (dk, pk) == (-1, 0), (mode, k)
+
+
+def test_myers_k_bounded_planted_long():
+    """Long query, small k: the banded path must still find a planted
+    low-distance infix exactly (blocks outside i <= j + k are skipped)."""
+    rng = np.random.default_rng(21)
+    t = rng.integers(0, 4, 4000).astype(np.uint8)
+    q = t[1000:1800].copy()          # 800 bases -> 13 blocks
+    q[100] = (q[100] + 1) % 4
+    q[500] = (q[500] + 1) % 4
+    d, end = native.myers_distance(q, t, "HW", k=5)
+    assert (d, end) == (2, 1800)
+    assert native.myers_distance(q, t, "HW", k=1) == (-1, 0)
+    # NW over the exact window
+    d2, _ = native.myers_distance(q, t[1000:1800], "NW", k=4)
+    assert d2 == 2
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_myers_align_extended_cigar(seed):
+    """extended=True ('='/'X' runs, EDLIB_CIGAR_EXTENDED edlib.h:249):
+    same path as 'M' ops, '='-runs match exactly, 'X'-runs mismatch."""
+    rng = np.random.default_rng(seed)
+    m = int(rng.integers(20, 80))
+    n = int(rng.integers(m, 200))
+    q = rng.integers(0, 4, m).astype(np.uint8)
+    t = rng.integers(0, 4, n).astype(np.uint8)
+    ed, start, end, ops = native.myers_align(q, t, "HW")
+    ed2, s2, e2, xops = native.myers_align(q, t, "HW", extended=True)
+    assert (ed2, s2, e2) == (ed, start, end)
+    assert all(op in "=XID" for _, op in xops)
+    # collapsing =/X back to M reproduces the plain ops
+    coll = []
+    for ln, op in xops:
+        op = "M" if op in "=X" else op
+        if coll and coll[-1][1] == op:
+            coll[-1] = (coll[-1][0] + ln, op)
+        else:
+            coll.append((ln, op))
+    assert coll == ops
+    qi, ti = 0, start
+    n_x = 0
+    for ln, op in xops:
+        if op == "=":
+            assert np.all(q[qi:qi + ln] == t[ti:ti + ln])
+            qi, ti = qi + ln, ti + ln
+        elif op == "X":
+            assert np.all(q[qi:qi + ln] != t[ti:ti + ln])
+            n_x += ln
+            qi, ti = qi + ln, ti + ln
+        elif op == "I":
+            qi += ln
+        else:
+            ti += ln
+    assert qi == m and ti == end
+    n_id = sum(ln for ln, op in xops if op in "ID")
+    assert n_x + n_id == ed  # unit costs: edits = X + I + D
+
+
+def test_myers_align_k_bounded():
+    rng = np.random.default_rng(31)
+    t = rng.integers(0, 4, 500).astype(np.uint8)
+    q = t[50:150].copy()
+    q[10] = (q[10] + 1) % 4
+    assert native.myers_align(q, t, "HW", k=0) == (-1, 0, 0, [])
+    ed, start, end, ops = native.myers_align(q, t, "HW", k=1)
+    assert (ed, start, end) == (1, 50, 150)
