@@ -102,11 +102,14 @@ def suffix_array(text: np.ndarray) -> np.ndarray:
     n = text.shape[0]
     lib = _load()
     if lib is not None:
-        sa = np.empty(n, dtype=np.int64)
+        # n + 1 slots: at genome scale the native build runs in this
+        # buffer (the extra slot is its sentinel scratch) instead of
+        # doubling the footprint with an internal copy
+        sa = np.empty(n + 1, dtype=np.int64)
         rc = lib.lrm_sais_u8(_as_u8_ptr(text), n,
                              sa.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
         if rc == 0:
-            return sa
+            return sa[:n]
     return _suffix_array_numpy(text)
 
 

@@ -116,25 +116,57 @@ void sais_rec(const TS* s, I* SA, I n, I K) {
 
 template <typename I>
 void sais_bytes(const uint8_t* text, int64_t n, int64_t* sa_out) {
-  // Append an explicit sentinel (rank 0); shift byte values by +1.  The
-  // shifted text is held as uint16 (258 symbols), not I: at genome scale
-  // (n > 2^31, I = int64) an I-typed copy alone would cost 8n bytes —
-  // 40 GB for an hg19-class .cat — vs 2n here.
-  std::vector<uint16_t> s(n + 1);
-  for (int64_t i = 0; i < n; ++i) s[i] = static_cast<uint16_t>(text[i]) + 1;
-  s[n] = 0;
-  std::vector<I> SA(n + 1);
-  sais_rec<uint16_t, I>(s.data(), SA.data(), static_cast<I>(n + 1),
-                        static_cast<I>(257));
+  // Append an explicit sentinel (rank 0).  Genome texts have a tiny
+  // alphabet (ACGTN + separators), so the shifted copy is a rank-remapped
+  // uint8 whenever < 256 distinct bytes occur (1 byte/char); the general
+  // fallback is the +1-shifted uint16 (258 symbols).  Either way the copy
+  // stays O(n) bytes, never 8n.
+  int64_t cnt256[256] = {0};
+  for (int64_t i = 0; i < n; ++i) cnt256[text[i]]++;
+  uint16_t rank_of[256];
+  int distinct = 0;
+  for (int c = 0; c < 256; ++c)
+    if (cnt256[c]) rank_of[c] = static_cast<uint16_t>(++distinct);
+  std::vector<I> SA;
+  I* SAp;
+  if (sizeof(I) == 8) {
+    // genome scale: build directly in the caller's (n+1)-slot buffer —
+    // a separate internal SA would double the 8(n+1)-byte footprint
+    // (~50 GB at an hg19-class 6.2e9 .cat)
+    SAp = reinterpret_cast<I*>(sa_out);
+  } else {
+    SA.resize(n + 1);
+    SAp = SA.data();
+  }
+  if (distinct < 256) {
+    std::vector<uint8_t> s(n + 1);
+    for (int64_t i = 0; i < n; ++i)
+      s[i] = static_cast<uint8_t>(rank_of[text[i]]);
+    s[n] = 0;
+    sais_rec<uint8_t, I>(s.data(), SAp, static_cast<I>(n + 1),
+                         static_cast<I>(distinct + 1));
+  } else {
+    std::vector<uint16_t> s(n + 1);
+    for (int64_t i = 0; i < n; ++i) s[i] = static_cast<uint16_t>(text[i]) + 1;
+    s[n] = 0;
+    sais_rec<uint16_t, I>(s.data(), SAp, static_cast<I>(n + 1),
+                          static_cast<I>(257));
+  }
   // SA[0] is the sentinel suffix; drop it.
-  for (int64_t i = 0; i < n; ++i) sa_out[i] = static_cast<int64_t>(SA[i + 1]);
+  if (sizeof(I) == 8) {
+    std::memmove(sa_out, sa_out + 1, static_cast<size_t>(n) * 8);
+  } else {
+    for (int64_t i = 0; i < n; ++i) sa_out[i] = static_cast<int64_t>(SAp[i + 1]);
+  }
 }
 
 }  // namespace
 
 extern "C" {
 
-// Suffix array of `text[0..n)` into `sa_out[0..n)` (int64). Returns 0 on ok.
+// Suffix array of `text[0..n)` into `sa_out` (int64). Returns 0 on ok.
+// sa_out MUST have capacity for n + 1 entries (the build runs in the
+// caller's buffer at genome scale; the final entry is scratch).
 int lrm_sais_u8(const uint8_t* text, int64_t n, int64_t* sa_out) {
   if (n <= 0) return 0;
   if (n + 1 < (1LL << 31)) {
