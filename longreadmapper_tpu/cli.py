@@ -49,6 +49,10 @@ def main(argv=None) -> int:
     ma.add_argument("--rg-id", type=int, default=None,
                     help="@RG timestamp id (default: current time, as the "
                          "reference; pass 0 for reproducible output)")
+    ma.add_argument("--slim-index", action="store_true",
+                    help="reduced-HBM index layout (SA-only sa_ctx + "
+                         "per-vote text-window recompute) for genomes "
+                         "near the chip's HBM ceiling")
     ma.add_argument("--quiet", action="store_true")
 
     md = sub.add_parser("mapdist",
@@ -114,7 +118,8 @@ def main(argv=None) -> int:
                      "(batch_size seed_len thres)")
         rg_id = args.rg_id if args.rg_id is not None else int(time.time())
         run_mapping(args.fasta, args.reads, p, sys.stdout, rg_id=rg_id,
-                    chunk_b=args.chunk_b, verbose=not args.quiet)
+                    chunk_b=args.chunk_b, verbose=not args.quiet,
+                    slim=args.slim_index)
         return 0
 
     if args.cmd == "mapdist":

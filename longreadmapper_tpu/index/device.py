@@ -51,11 +51,14 @@ class DeviceIndex(NamedTuple):
     packed: jnp.ndarray
     occ_samp: jnp.ndarray
     c4: jnp.ndarray
-    sa_ctx: jnp.ndarray            # (n, 2) int32: [SA low32, ctx window]
+    sa_ctx: jnp.ndarray            # (n, 2) int32 [SA low32, ctx window],
+    #                                or (n,) int32 SA low32 in slim layout
     sa_hi: Optional[jnp.ndarray]   # (n,) uint8 SA high byte | None (int32 n)
     lch: jnp.ndarray
     lch_hi: Optional[jnp.ndarray]  # (4^hlen, 2) uint8 | None (int32 n)
     text_packed: jnp.ndarray
+    text_pair: Optional[jnp.ndarray]  # slim only: (nw+2, 2) int32 adjacent
+    #                                   padded text words [pad[i], pad[i+1]]
     mta_start: jnp.ndarray
     mta_len: jnp.ndarray
 
@@ -67,6 +70,12 @@ class IndexMeta:
     hlen: int
     n_contigs: int
     pos_dtype: str    # 'int32' | 'int64'
+    # slim HBM layout: sa_ctx is (n,) SA-only (4 B/pos instead of 8) and
+    # the verify window is recomputed per vote from a text_pair gather —
+    # one extra (R,2) gather per vote buys ~3.5 B/pos of HBM, raising the
+    # single-chip genome ceiling ~1.6x (the reference's sampled CSA
+    # exists for the same RAM trade, fmidx.c:153-163,315-331)
+    slim: bool = False
 
 
 def _pack_ctx_words(sa: np.ndarray, text_codes: np.ndarray) -> np.ndarray:
@@ -106,17 +115,32 @@ def _pack_ctx_words(sa: np.ndarray, text_codes: np.ndarray) -> np.ndarray:
 
 
 _ARRAY_NAMES = ("packed", "occ_samp", "c4", "sa_ctx", "sa_hi", "lch",
-                "lch_hi", "text_packed", "mta_start", "mta_len")
+                "lch_hi", "text_packed", "text_pair", "mta_start", "mta_len")
 _CACHE_VERSION = 1
+
+
+def _text_pair_words(text_packed: np.ndarray) -> np.ndarray:
+    """(nw+2, 2) adjacent padded text words for the slim verify-window
+    gather: row j = [padded[j], padded[j+1]] with padded = [0] + words +
+    [0, 0] — exactly _pack_ctx_words' indexing, so the device recomputes
+    the identical ctx word from one int32-pair gather."""
+    words = text_packed.view(np.uint32)
+    padded = np.concatenate([np.zeros(1, np.uint32), words,
+                             np.zeros(2, np.uint32)])
+    out = np.empty((padded.shape[0] - 1, 2), dtype=np.uint32)
+    out[:, 0] = padded[:-1]
+    out[:, 1] = padded[1:]
+    return out.view(np.int32)
 
 
 def _assemble_host_arrays(fmi: FMIndex, lch_kl: np.ndarray, hlen: int,
                           cat: np.ndarray, mta: list[MtaEntry],
                           force_pos_dtype: str | None = None,
+                          slim: bool = False,
                           ) -> tuple[dict, IndexMeta]:
     """Derive the device-layout numpy arrays from host index structures
     (the expensive step at genome scale: _pack_ctx_words + occ sampling
-    over n positions)."""
+    over n positions; slim skips the ctx packing entirely)."""
     n = fmi.length
     pos64 = (n >= 2**31) if force_pos_dtype is None \
         else force_pos_dtype == "int64"
@@ -128,10 +152,13 @@ def _assemble_host_arrays(fmi: FMIndex, lch_kl: np.ndarray, hlen: int,
     text_codes = encode_bytes(cat)
 
     sa = fmi.sa
-    ctx = _pack_ctx_words(sa, text_codes)
-    sa_ctx = np.empty((n, 2), dtype=np.int32)
-    sa_ctx[:, 0] = (sa & 0xFFFFFFFF).astype(np.uint32).view(np.int32)
-    sa_ctx[:, 1] = ctx
+    if slim:
+        sa_ctx = (sa & 0xFFFFFFFF).astype(np.uint32).view(np.int32)
+    else:
+        ctx = _pack_ctx_words(sa, text_codes)
+        sa_ctx = np.empty((n, 2), dtype=np.int32)
+        sa_ctx[:, 0] = (sa & 0xFFFFFFFF).astype(np.uint32).view(np.int32)
+        sa_ctx[:, 1] = ctx
     sa_hi = (sa >> 32).astype(np.uint8) if pos64 else None
 
     kl = np.asarray(lch_kl, dtype=np.uint64)
@@ -154,8 +181,11 @@ def _assemble_host_arrays(fmi: FMIndex, lch_kl: np.ndarray, hlen: int,
         mta_start=np.array([m.offset for m in mta], dtype=dtype),
         mta_len=np.array([m.seq_len for m in mta], dtype=dtype),
     )
+    arrays["text_pair"] = (_text_pair_words(arrays["text_packed"])
+                           if slim else None)
     meta = IndexMeta(n=n, dollar_pos=dollar_pos, hlen=hlen,
-                     n_contigs=len(mta), pos_dtype=np.dtype(dtype).name)
+                     n_contigs=len(mta), pos_dtype=np.dtype(dtype).name,
+                     slim=slim)
     return arrays, meta
 
 
@@ -170,13 +200,16 @@ def _upload(arrays: dict, meta: IndexMeta) -> DeviceIndex:
 def build_device_index(fmi: FMIndex, lch_kl: np.ndarray, hlen: int,
                        cat: np.ndarray, mta: list[MtaEntry],
                        force_pos_dtype: str | None = None,
+                       slim: bool = False,
                        ) -> tuple[DeviceIndex, IndexMeta]:
     """Assemble device arrays from host index structures.
 
     `force_pos_dtype='int64'` builds the split-hi genome-scale layout even
-    for small n (the int64-path parity tests use it)."""
+    for small n (the int64-path parity tests use it).  `slim` selects the
+    SA-only sa_ctx layout (IndexMeta.slim)."""
     arrays, meta = _assemble_host_arrays(fmi, lch_kl, hlen, cat, mta,
-                                         force_pos_dtype=force_pos_dtype)
+                                         force_pos_dtype=force_pos_dtype,
+                                         slim=slim)
     if meta.pos_dtype == "int64":
         _require_x64()
     return _upload(arrays, meta), meta
@@ -258,7 +291,7 @@ def save_device_cache(genome_path: str, arrays: dict,
         info = dict(version=_CACHE_VERSION,
                     meta=dict(n=meta.n, dollar_pos=meta.dollar_pos,
                               hlen=meta.hlen, n_contigs=meta.n_contigs,
-                              pos_dtype=meta.pos_dtype),
+                              pos_dtype=meta.pos_dtype, slim=meta.slim),
                     fingerprint=_artifact_fingerprint(genome_path))
         with open(_os.path.join(tmp, "meta.json"), "w") as f:
             json.dump(info, f)
@@ -270,11 +303,17 @@ def save_device_cache(genome_path: str, arrays: dict,
         raise
 
 
-def _load_device_cache(genome_path: str, force_pos_dtype: str | None
+def _load_device_cache(genome_path: str, force_pos_dtype: str | None,
+                       slim: bool = False,
                        ) -> tuple[dict, IndexMeta] | None:
-    """Load the cached device-layout arrays, or None when absent/stale."""
+    """Load the cached device-layout arrays, or None when absent/stale.
+
+    A full-layout cache serves a slim request by deriving the slim arrays
+    in O(n) (sa column view + text_pair from text_packed); a slim cache
+    cannot serve a full request (the ctx words are gone) and misses."""
     import json
     import os as _os
+    from dataclasses import replace
 
     d = _cache_dir(genome_path)
     mpath = _os.path.join(d, "meta.json")
@@ -290,6 +329,8 @@ def _load_device_cache(genome_path: str, force_pos_dtype: str | None
     meta = IndexMeta(**info["meta"])
     if force_pos_dtype is not None and meta.pos_dtype != force_pos_dtype:
         return None
+    if meta.slim and not slim:
+        return None
     if info["fingerprint"] != _artifact_fingerprint(genome_path):
         return None
     arrays = {}
@@ -299,11 +340,16 @@ def _load_device_cache(genome_path: str, force_pos_dtype: str | None
         arrays[k] = np.load(p, mmap_mode="r") if _os.path.exists(p) else None
     if arrays["sa_ctx"] is None:
         return None
+    if slim and not meta.slim:
+        arrays["sa_ctx"] = np.ascontiguousarray(arrays["sa_ctx"][:, 0])
+        arrays["text_pair"] = _text_pair_words(
+            np.asarray(arrays["text_packed"]))
+        meta = replace(meta, slim=True)
     return arrays, meta
 
 
 def load_device_index(genome_path: str, force_pos_dtype: str | None = None,
-                      cache: bool = True,
+                      cache: bool = True, slim: bool = False,
                       ) -> tuple[DeviceIndex, IndexMeta, list[MtaEntry]]:
     """Load the persisted artifact set (.mta/.cat/.sa5/.mfi/.lch) to device —
     the accaln `init` equivalent (alnmain.c:179-256).
@@ -317,7 +363,7 @@ def load_device_index(genome_path: str, force_pos_dtype: str | None = None,
     log = new_logger()
     mta = load_mta(genome_path + ".mta")
     if cache:
-        hit = _load_device_cache(genome_path, force_pos_dtype)
+        hit = _load_device_cache(genome_path, force_pos_dtype, slim=slim)
         if hit is not None:
             arrays, meta = hit
             log.vlog(f"device index cache hit: {_cache_dir(genome_path)}")
@@ -330,7 +376,8 @@ def load_device_index(genome_path: str, force_pos_dtype: str | None = None,
     hlen, kl = read_lch(prefix + ".lch")
     cat = load_cat(prefix)
     arrays, meta = _assemble_host_arrays(fmi, kl, hlen, cat, mta,
-                                         force_pos_dtype=force_pos_dtype)
+                                         force_pos_dtype=force_pos_dtype,
+                                         slim=slim)
     if cache and force_pos_dtype is None:
         # forced layouts are a parity-test affordance; caching one would
         # shadow the natural layout for every later load

@@ -115,6 +115,9 @@ class MapperConfig:
     # flag reaches the compiled step without new CLI surface:
     # LRM_PALLAS_DIRS=1.
     pallas_dirs: bool = False
+    # slim HBM index layout (IndexMeta.slim): sa_ctx carries SA only and
+    # the 16-base verify window is recomputed from a text_pair gather
+    slim: bool = False
 
     @property
     def use_gact(self) -> bool:
@@ -182,7 +185,7 @@ class MapperConfig:
             hlen=meta.hlen, n=meta.n,
             dollar_pos=meta.dollar_pos, accept_score=p.accept_score,
             error_rate=p.error_rate, vote_budget=p.vote_budget,
-            pos64=meta.pos_dtype == "int64",
+            pos64=meta.pos_dtype == "int64", slim=meta.slim,
             pallas_dirs=os.environ.get("LRM_PALLAS_DIRS", "") == "1")
 
 
@@ -457,18 +460,45 @@ def _seed_vote(cfg: MapperConfig, idx: DeviceIndex, codes, lens):
     # buffer handling costs more than the skipped rows save; see
     # CLAUDE.md ledger.)
     p_safe = jnp.clip(p_rank, 0, cfg.n - 1)
-    row = idx.sa_ctx[p_safe]                           # (BP, C, 2)
-    if cfg.pos64:
-        sa12 = _join_hi(row[..., 0], idx.sa_hi[p_safe])
+    if cfg.slim:
+        sa_low = idx.sa_ctx[p_safe]                    # (BP, C)
+        sa12 = _join_hi(sa_low, idx.sa_hi[p_safe]) if cfg.pos64 else sa_low
+        if left > 0:
+            # recompute the ctx word _pack_ctx_words would have fused:
+            # one (R,2) adjacent-word gather from the padded text pairs
+            # (rows [padded[w], padded[w+1]]); w0's +1 is the pad offset.
+            # start in [-16, n-17]; int32/int64 >> and & 15 give floor
+            # semantics for the negative sub-word offsets
+            start = sa12 - 16
+            w0 = lax.shift_right_arithmetic(start, np.int32(4) if not
+                                            cfg.pos64 else 4) + 1
+            o = (start & 15).astype(jnp.uint32)
+            pair = idx.text_pair[jnp.clip(w0, 0, idx.text_pair.shape[0] - 1)]
+            lo = lax.shift_right_logical(pair[..., 0].astype(jnp.uint32),
+                                         2 * o)
+            # o == 0 would shift by 32 (undefined on u32): mask it off
+            hi = jnp.where(o == 0, jnp.uint32(0),
+                           pair[..., 1].astype(jnp.uint32)
+                           << jnp.minimum(32 - 2 * o, np.uint32(31)))
+            ctx = lo | hi
+            win = lax.shift_right_logical(ctx, np.uint32(2 * (16 - left)))
+            verified = valid & (wide_slot | ((sa12 >= left) &
+                                (win == qw_slot.astype(jnp.uint32))))
+        else:
+            verified = valid
     else:
-        sa12 = row[..., 0]
-    if left > 0:
-        win = lax.shift_right_logical(
-            row[..., 1].astype(jnp.uint32), np.uint32(2 * (16 - left)))
-        verified = valid & (wide_slot | ((sa12 >= left) &
-                            (win == qw_slot.astype(jnp.uint32))))
-    else:
-        verified = valid
+        row = idx.sa_ctx[p_safe]                       # (BP, C, 2)
+        if cfg.pos64:
+            sa12 = _join_hi(row[..., 0], idx.sa_hi[p_safe])
+        else:
+            sa12 = row[..., 0]
+        if left > 0:
+            win = lax.shift_right_logical(
+                row[..., 1].astype(jnp.uint32), np.uint32(2 * (16 - left)))
+            verified = valid & (wide_slot | ((sa12 >= left) &
+                                (win == qw_slot.astype(jnp.uint32))))
+        else:
+            verified = valid
 
     # informative filter (alnmain.c:360: 0 < hits < thres) is already
     # implied: non-wide seeds have verified-count <= cnt12 < thres by the

@@ -53,6 +53,8 @@ def shard_index(idx: DeviceIndex, mesh: Mesh, shard_tables: bool = False
         lch_hi=None if idx.lch_hi is None
         else jax.device_put(_pad0(idx.lch_hi, nm), shard),
         text_packed=jax.device_put(_pad0(idx.text_packed, nm), shard),
+        text_pair=None if idx.text_pair is None
+        else jax.device_put(_pad0(idx.text_pair, nm), shard),
         mta_start=jax.device_put(idx.mta_start, rep),
         mta_len=jax.device_put(idx.mta_len, rep),
     )

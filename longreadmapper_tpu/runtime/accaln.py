@@ -21,10 +21,13 @@ from .reads import chunks, load_read_batches
 def run_mapping(genome_path: str, reads_path: str,
                 params: Optional[Params] = None,
                 out: Optional[TextIO] = None, rg_id: int = 0,
-                chunk_b: int = 0, verbose: bool = True) -> tuple[int, int]:
+                chunk_b: int = 0, verbose: bool = True,
+                slim: bool = False) -> tuple[int, int]:
     """Map `reads_path` against the index of `genome_path`; SAM to `out`.
 
-    Returns (valid, total).
+    `slim` selects the reduced-HBM index layout (IndexMeta.slim: SA-only
+    sa_ctx + per-vote text window recompute) for genomes near the chip's
+    HBM ceiling.  Returns (valid, total).
     """
     p = params or read_params()
     out = out or sys.stdout
@@ -32,7 +35,7 @@ def run_mapping(genome_path: str, reads_path: str,
 
     log.vlog("Start initialization")
     t0 = log.vlog("loading index artifacts for %s", genome_path)
-    idx, meta, mta = load_device_index(genome_path)
+    idx, meta, mta = load_device_index(genome_path, slim=slim)
     log.vlog("index loaded in %.2fs (n=%d, hlen=%d, %s positions)",
              log.elapse(t0), meta.n, meta.hlen, meta.pos_dtype)
     log.vlog("Current settings:")

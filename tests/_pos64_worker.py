@@ -5,6 +5,7 @@ Runs in its own process because force_pos_dtype='int64' enables jax x64
 mode globally (required for int64 position arithmetic).
 
 Usage: python _pos64_worker.py <ref.fa> <reads.fq> <batch> <seed_len> <thres>
+       [slim]
 """
 
 import os
@@ -23,6 +24,7 @@ jax.config.update("jax_platforms", "cpu")
 
 fa, fq = sys.argv[1], sys.argv[2]
 batch, seed_len, thres = (int(a) for a in sys.argv[3:6])
+slim = len(sys.argv) > 6 and sys.argv[6] == "slim"
 
 from longreadmapper_tpu.formats.sam import sam_header
 from longreadmapper_tpu.index.device import load_device_index
@@ -30,8 +32,9 @@ from longreadmapper_tpu.models.mapper import TPUMapper
 from longreadmapper_tpu.runtime.reads import chunks, load_read_batches
 from longreadmapper_tpu.utils.config import Params
 
-idx, meta, mta = load_device_index(fa, force_pos_dtype="int64")
+idx, meta, mta = load_device_index(fa, force_pos_dtype="int64", slim=slim)
 assert meta.pos_dtype == "int64", meta
+assert meta.slim == slim
 assert idx.sa_hi is not None and idx.lch_hi is not None
 assert jax.config.jax_enable_x64
 
