@@ -135,11 +135,14 @@ class MapperConfig:
     @property
     def vote_slots_exact(self) -> int:
         """Full-headroom slots per (read, phase): the configured budget,
-        floored by what the genome statistically needs — a phase expands
-        ~max_seeds * (n / 4^hlen) hlen-mer hits on a random-ish genome, so
-        reserve 2x the mean (overflow beyond that is flagged per read)."""
+        floored by what the genome statistically needs.  A phase's votes
+        are ~max_seeds draws of (1 + Poisson(lam)), lam = n/4^hlen: each
+        sampled seed matches ITSELF once (the +1 — measured mean 69 at
+        the 4 Mb bench where the lam-only model predicted 23) plus lam
+        background hits.  Reserve mean + 2x the background (overflow
+        beyond that is flagged per read)."""
         lam = self.n / float(4 ** self.hlen)
-        need = int(2 * self.max_seeds * max(lam, 0.5)) + 64
+        need = int(self.max_seeds * (1 + 2 * max(lam, 0.5))) + 64
         want = max(self.vote_budget, need, 128)
         return -(-want // 128) * 128
 
@@ -148,18 +151,23 @@ class MapperConfig:
         """Slots the compiled step actually allocates.
 
         The sa_ctx gather is the map step's single biggest cost and scales
-        with SLOTS, not with real votes (measured ~80% empty padding at the
-        2x-mean budget — VERDICT r2).  The compact tier budgets mean + 5
-        sigma (Poisson) instead; reads whose executed phases overflow it
-        raise the per-read flag and the mapper re-runs just those reads
-        through an exact_slots step (models/mapper._retry_overflow), so
-        final results are bit-identical to the full budget at a fraction
-        of the gather traffic."""
+        with SLOTS, not with real votes.  The compact tier budgets
+        mean + 5 sigma, where mean = max_seeds*(1+lam) (self-hit + lam
+        background per seed) and the variance is the BACKGROUND part only
+        (sigma^2 = max_seeds*lam — the self-hits are near-deterministic;
+        empirical p99 at the 4 Mb bench: 81 vs mean 69, i.e. ~2.5 of
+        these sigma).  Reads whose executed phases overflow raise the
+        per-read flag and re-run through an exact_slots step
+        (models/mapper._retry_overflow) — bit-identical results with the
+        retry tier essentially never firing on low-repeat genomes.  The
+        win over exact grows with lam (deep tables / big genomes): at the
+        500 Mb hlen=14 bench config this is 384 vs 512 slots."""
         if self.exact_slots:
             return self.vote_slots_exact
         lam = self.n / float(4 ** self.hlen)
-        mean = self.max_seeds * max(lam, 0.5)
-        want = int(mean + 5.0 * mean ** 0.5) + 16
+        mean = self.max_seeds * (1 + max(lam, 0.25))
+        sigma = (self.max_seeds * max(lam, 0.25)) ** 0.5
+        want = int(mean + 5.0 * sigma) + 16
         return min(self.vote_slots_exact, max(64, -(-want // 64) * 64))
 
 

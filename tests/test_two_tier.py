@@ -88,3 +88,37 @@ def test_overflow_retry_matches_oracle(tmp_path):
             assert rec.off == o.off, name
         if o.valid:
             assert rec.cigar == cigar_string(o.cigar), name
+
+
+def test_no_retry_on_random_genome(tmp_path):
+    """Self-hit calibration regression: every sampled seed matches itself,
+    so the compact budget must model mean = max_seeds*(1+lam) — the
+    lam-only model undershot and silently retried ~23% of reads on the
+    RANDOM 4 Mb bench config (round 3).  On a random genome the retry
+    tier must essentially never fire."""
+    from longreadmapper_tpu.models.mapper import TPUMapper
+    from longreadmapper_tpu.utils.config import Params
+
+    rng = np.random.default_rng(6)
+    genome = make_genome(rng, 400_000)
+    hlen = 9   # lam = 800k/4^9 ~ 3 — a background-dominated config
+    params = Params(hlen=hlen)
+    fa, fmi, kl, cat, idx, meta, mta = _build(tmp_path, genome, hlen)
+
+    reads = []
+    comp = str.maketrans("ACGT", "TGCA")
+    for i in range(64):
+        p = int(rng.integers(0, len(genome) - 700))
+        s = genome[p:p + 600]
+        if rng.random() < 0.5:
+            s = s.translate(comp)[::-1]
+        chars = np.frombuffer(s.encode(), np.uint8).copy()
+        mask = rng.random(600) < 0.03
+        chars[mask] = np.frombuffer(b"ACGT", np.uint8)[
+            rng.integers(0, 4, int(mask.sum()))]
+        reads.append((f"r{i}", chars.tobytes().decode(), None))
+
+    mapper = TPUMapper(idx, meta, mta, params, chunk_b=64)
+    recs = mapper.map_chunk(reads)
+    assert sum(r.valid for r in recs) >= 60
+    assert mapper.retried_reads == 0, mapper.retried_reads
