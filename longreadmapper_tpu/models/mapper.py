@@ -263,39 +263,37 @@ class TPUMapper:
 
     def _pack_reads(self, part, L: int, n_pack: int):
         """Encode up to n_pack (name, seq, qual) reads into device buffers:
-        (codes, codes_rc, lens, limits)."""
+        (codes, codes_rc, lens, limits).
+
+        Two LUT passes over the raw bytes and slice writes — no full-batch
+        masks or where() temporaries (they were ~2/3 of a 25 ms pack at
+        B=2048, L=1024; host pack overlaps the device step but bounds e2e
+        once the step itself is faster than the host loop)."""
         from ..formats.fastx import _encode_lut
-        lut = _encode_lut()
-        # batch encode: one raw-byte matrix, one LUT pass, one
-        # vectorized complement; only the per-read memcpys loop
-        raw = np.zeros((n_pack, L), dtype=np.uint8)
+        lut = _encode_lut().view(np.int8)
+        clut = lut.copy()
+        clut[lut < 4] = 3 - lut[lut < 4]   # complement; N stays 4
         lens = np.zeros(n_pack, dtype=np.int32)
         n_part = len(part)
+        codes = np.full((n_pack, L), 4, dtype=np.int8)
+        codes_rc = np.full((n_pack, L), 4, dtype=np.int8)
         uniform = n_part > 0 and all(
             len(s) == len(part[0][1]) for _, s, _ in part)
         if uniform:
             # uniform-length fast path: one join + one frombuffer
             L0 = len(part[0][1])
-            raw[:n_part, :L0] = np.frombuffer(
+            raw = np.frombuffer(
                 "".join(s for _, s, _ in part).encode(),
                 np.uint8).reshape(n_part, L0)
             lens[:n_part] = L0
+            codes[:n_part, :L0] = lut[raw]
+            codes_rc[:n_part, :L0] = clut[raw][:, ::-1]
         else:
             for i, (_, seq, _) in enumerate(part):
-                raw[i, :len(seq)] = np.frombuffer(seq.encode(), np.uint8)
-                lens[i] = len(seq)
-        codes = lut[raw].astype(np.int8)
-        in_read = np.arange(L)[None, :] < lens[:, None]
-        codes[~in_read] = 4
-        comp = np.where(codes < 4, 3 - codes, codes)[:, ::-1]
-        codes_rc = np.full((n_pack, L), 4, dtype=np.int8)
-        if uniform:
-            L0 = len(part[0][1]) if n_part else 0
-            codes_rc[:n_part, :L0] = comp[:n_part, L - L0:]
-        else:
-            for i in range(n_part):
-                n_i = int(lens[i])
-                codes_rc[i, :n_i] = comp[i, L - n_i:]
+                raw = np.frombuffer(seq.encode(), np.uint8)
+                lens[i] = raw.shape[0]
+                codes[i, :raw.shape[0]] = lut[raw]
+                codes_rc[i, :raw.shape[0]] = clut[raw[::-1]]
         # (int)(ERROR_RATE*len*2) in C double semantics (alnmain.c:428)
         limits = ((self.params.error_rate * lens.astype(np.float64)) * 2
                   ).astype(np.int32)
