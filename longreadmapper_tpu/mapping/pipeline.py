@@ -118,6 +118,12 @@ class MapperConfig:
     # slim HBM index layout (IndexMeta.slim): sa_ctx carries SA only and
     # the 16-base verify window is recomputed from a text_pair gather
     slim: bool = False
+    # step variant taking raw ASCII bytes (B, L) uint8 instead of
+    # (codes, codes_rc): encode + reverse-complement run on device.
+    # UNIFORM-length chunks only (the RC left-align is a single roll by
+    # L - max(lens); ragged chunks would need per-row gathers).  Halves
+    # H2D traffic and removes ~26 ms/chunk of host LUT passes at B=2048.
+    raw_input: bool = False
 
     @property
     def use_gact(self) -> bool:
@@ -584,10 +590,15 @@ def make_map_step(cfg: MapperConfig):
     pad-4-filled, computed HOST-side at submit (a per-row device gather is
     ~10x the cost of the numpy flip).  `limits` = (int)(ERROR_RATE*len*2)
     in C double semantics (alnmain.c:428, exactly).
+
+    With cfg.raw_input the signature is step(idx, raw (B,L) uint8, lens,
+    limits): ASCII decode (ACGT/acgt -> 0..3, else 4 incl. the zero pad)
+    and the reverse complement run on device — VPU compare-selects fused
+    into the step, valid for uniform-length chunks where the RC re-align
+    is one roll (the wrapped pad 4s land exactly on the tail).
     """
 
-    @jax.jit
-    def step(idx: DeviceIndex, codes, codes_rc, lens, limits):
+    def _body(idx: DeviceIndex, codes, codes_rc, lens, limits):
         B, L, W, band = cfg.B, cfg.L, cfg.W, cfg.band
         best, overflow = _seed_vote(cfg, idx, codes, lens)
 
@@ -694,4 +705,22 @@ def make_map_step(cfg: MapperConfig):
         blob = jnp.concatenate([meta_bytes, compact[:, :head]], axis=1)
         return dict(blob=blob, ops_tail=compact[:, head:K])
 
-    return step
+    if not cfg.raw_input:
+        return jax.jit(_body)
+
+    @jax.jit
+    def raw_step(idx: DeviceIndex, raw, lens, limits):
+        u = raw | jnp.uint8(32)            # lowercase-fold ASCII letters
+        codes = jnp.where(
+            u == ord("a"), 0, jnp.where(
+                u == ord("c"), 1, jnp.where(
+                    u == ord("g"), 2, jnp.where(
+                        u == ord("t"), 3, 4)))).astype(jnp.int8)
+        comp = jnp.where(codes < 4, 3 - codes, codes)
+        # full-row reverse puts the read at [L-L0, L); rolling left by
+        # L - L0 front-aligns it and wraps the leading pad 4s to the tail
+        codes_rc = jnp.roll(comp[:, ::-1],
+                            jnp.max(lens) - np.int32(cfg.L), axis=1)
+        return _body(idx, codes, codes_rc, lens, limits)
+
+    return raw_step

@@ -130,6 +130,7 @@ class TPUMapper:
             self.idx = idx
         self._steps = {}
         self._retry_steps = {}
+        self._raw_steps = {}
         # reads whose per-phase votes exceeded the compaction budget (tail
         # votes dropped — raise Params.vote_budget for exact handling)
         self.overflow_reads = 0
@@ -196,6 +197,24 @@ class TPUMapper:
             self._steps[L] = (cfg, step)
         return self._steps[L]
 
+    @property
+    def _raw_ok(self) -> bool:
+        """Device-side encode applies in single-device mode (the mesh path
+        packs per-process row slices host-side); LRM_HOST_ENCODE=1 forces
+        the host path for A/B measurement."""
+        import os
+        return self.mesh is None and \
+            os.environ.get("LRM_HOST_ENCODE", "") != "1"
+
+    def _raw_step_for(self, L: int):
+        """raw-input (device-encode) step variant for uniform chunks."""
+        if L not in self._raw_steps:
+            from dataclasses import replace
+            cfg, _ = self._step_for(L)
+            cfg_r = replace(cfg, raw_input=True)
+            self._raw_steps[L] = (cfg_r, make_map_step(cfg_r))
+        return self._raw_steps[L]
+
     def _retry_step_for(self, L: int):
         """Exact-slots (full vote budget) step for overflow-flagged reads,
         at a small batch size — compiled lazily, used only when the compact
@@ -227,11 +246,18 @@ class TPUMapper:
         buckets = sorted({_bucket_len(int(l)) for l in lengths})
 
         def compile_one(L):
-            cfg, step = self._step_for(L)
             sds = jax.ShapeDtypeStruct
-            args = (self.idx,
-                    sds((cfg.B, L), jnp.int8), sds((cfg.B, L), jnp.int8),
-                    sds((cfg.B,), jnp.int32), sds((cfg.B,), jnp.int32))
+            if self._raw_ok:
+                # dispatch uses the raw (device-encode) variant for the
+                # uniform chunks warmup/bench/sweeps produce
+                cfg, step = self._raw_step_for(L)
+                args = (self.idx, sds((cfg.B, L), jnp.uint8),
+                        sds((cfg.B,), jnp.int32), sds((cfg.B,), jnp.int32))
+            else:
+                cfg, step = self._step_for(L)
+                args = (self.idx,
+                        sds((cfg.B, L), jnp.int8), sds((cfg.B, L), jnp.int8),
+                        sds((cfg.B,), jnp.int32), sds((cfg.B,), jnp.int32))
             step.lower(*args).compile()
 
         if concurrent and len(buckets) > 1:
@@ -258,7 +284,23 @@ class TPUMapper:
         prepped = []
         for s in range(0, max(n_real, 1), cfg.B):
             part = reads[s + row_lo:s + row_hi]
-            prepped.append((part,) + self._pack_reads(part, L, n_pack))
+            if (self._raw_ok and part
+                    and all(len(p[1]) == len(part[0][1]) for p in part)):
+                # uniform chunk: ship raw ASCII, encode + RC on device
+                # (cfg.raw_input step variant) — half the H2D bytes and
+                # none of the host LUT passes
+                L0 = len(part[0][1])
+                raw = np.zeros((n_pack, L), dtype=np.uint8)
+                raw[:len(part), :L0] = np.frombuffer(
+                    "".join(p[1] for p in part).encode(),
+                    np.uint8).reshape(len(part), L0)
+                lens = np.zeros(n_pack, dtype=np.int32)
+                lens[:len(part)] = L0
+                limits = ((self.params.error_rate *
+                           lens.astype(np.float64)) * 2).astype(np.int32)
+                prepped.append((part, raw, None, lens, limits))
+            else:
+                prepped.append((part,) + self._pack_reads(part, L, n_pack))
         return L, prepped
 
     def _pack_reads(self, part, L: int, n_pack: int):
@@ -307,6 +349,12 @@ class TPUMapper:
         parts = []
         for part, codes, codes_rc, lens, limits in prepped:
             if self.mesh is None:
+                if codes_rc is None:       # raw uniform-chunk variant
+                    _, rstep = self._raw_step_for(L)
+                    draw, dl, dlim = jax.device_put((codes, lens, limits))
+                    out = rstep(self.idx, draw, dl, dlim)
+                    parts.append((cfg, part, lens, out))
+                    continue
                 dc, drc, dl, dlim = jax.device_put((codes, codes_rc, lens,
                                                     limits))
                 out = step(self.idx, dc, drc, dl, dlim)
