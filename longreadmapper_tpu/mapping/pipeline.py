@@ -641,9 +641,13 @@ def make_map_step(cfg: MapperConfig):
             run_bytes, run_sat = gact_traceback_v(q, t, ckpt, lens,
                                                   T, W, band)
             # a saturated shared run buffer can corrupt ANY lane's CIGAR
-            # (ops/gact.gact_traceback_v) — surface it exactly like the
-            # seed-vote overflow so no silent truncation path remains
-            overflow = overflow | run_sat
+            # (ops/gact.gact_traceback_v) — surface it in the per-read
+            # flag word so no silent truncation path remains.  DISTINCT
+            # bit from the vote overflow: re-running with more vote slots
+            # cannot grow the run buffer, so the retry tier must not fire
+            # on saturation (bit 1), only on vote overflow (bit 0).
+            overflow = overflow.astype(jnp.int32) | \
+                jnp.where(run_sat, jnp.int32(2), jnp.int32(0))
             # real (non-pad) run bytes for an in-limit read: word
             # fragments (L/16 + one boundary split per tile + one per
             # edit) + one edit byte per edit, edits <= ed <= W
@@ -656,7 +660,13 @@ def make_map_step(cfg: MapperConfig):
                 # band-on-sublanes Pallas kernel (ops/band_pallas):
                 # bit-identical words in band-major layout, the walk's
                 # gather cost is layout-independent
-                from ..ops.band_pallas import banded_nw_dirs_vt
+                from ..ops.band_pallas import (HAVE_PALLAS,
+                                               banded_nw_dirs_vt)
+                if not HAVE_PALLAS:
+                    raise RuntimeError(
+                        "LRM_PALLAS_DIRS=1 but jax.experimental.pallas is "
+                        "unavailable in this jaxlib — unset the flag to "
+                        "use the XLA band scan")
                 vdirsT, wcol = banded_nw_dirs_vt(q, t, W, band)
                 run_bytes = device_traceback_v(vdirsT, lens, L, W,
                                                band_major=True)

@@ -289,19 +289,28 @@ class TPUMapper:
                 # uniform chunk: ship raw ASCII, encode + RC on device
                 # (cfg.raw_input step variant) — half the H2D bytes and
                 # none of the host LUT passes
-                L0 = len(part[0][1])
-                raw = np.zeros((n_pack, L), dtype=np.uint8)
-                raw[:len(part), :L0] = np.frombuffer(
-                    "".join(p[1] for p in part).encode(),
-                    np.uint8).reshape(len(part), L0)
-                lens = np.zeros(n_pack, dtype=np.int32)
-                lens[:len(part)] = L0
-                limits = ((self.params.error_rate *
-                           lens.astype(np.float64)) * 2).astype(np.int32)
-                prepped.append((part, raw, None, lens, limits))
+                prepped.append((part,) + self._pack_raw(part, L, n_pack))
             else:
                 prepped.append((part,) + self._pack_reads(part, L, n_pack))
         return L, prepped
+
+    def _pack_raw(self, part, L: int, n_pack: int):
+        """Uniform-length raw-byte packing for the device-encode step:
+        (raw, None, lens, limits) — the None marks the raw variant for
+        _dispatch_chunk."""
+        L0 = len(part[0][1])
+        raw = np.zeros((n_pack, L), dtype=np.uint8)
+        raw[:len(part), :L0] = np.frombuffer(
+            "".join(p[1] for p in part).encode(),
+            np.uint8).reshape(len(part), L0)
+        lens = np.zeros(n_pack, dtype=np.int32)
+        lens[:len(part)] = L0
+        return raw, None, lens, self._limits(lens)
+
+    def _limits(self, lens: np.ndarray) -> np.ndarray:
+        # (int)(ERROR_RATE*len*2) in C double semantics (alnmain.c:428)
+        return ((self.params.error_rate * lens.astype(np.float64)) * 2
+                ).astype(np.int32)
 
     def _pack_reads(self, part, L: int, n_pack: int):
         """Encode up to n_pack (name, seq, qual) reads into device buffers:
@@ -336,10 +345,7 @@ class TPUMapper:
                 lens[i] = raw.shape[0]
                 codes[i, :raw.shape[0]] = lut[raw]
                 codes_rc[i, :raw.shape[0]] = clut[raw[::-1]]
-        # (int)(ERROR_RATE*len*2) in C double semantics (alnmain.c:428)
-        limits = ((self.params.error_rate * lens.astype(np.float64)) * 2
-                  ).astype(np.int32)
-        return codes, codes_rc, lens, limits
+        return codes, codes_rc, lens, self._limits(lens)
 
     def _dispatch_chunk(self, prepared):
         """Upload + queue the device steps (async; main thread)."""
@@ -442,7 +448,10 @@ class TPUMapper:
 
         meta = np.asarray(out["meta"])
         n = len(reads)
-        flagged = np.flatnonzero(meta[:n, cfg.meta_words - 1] != 0)
+        # bit 0 = vote overflow (more slots fixes it); bit 1 = gact
+        # run-buffer saturation (a vote-slot retry CANNOT fix it — the
+        # flag survives to the caller via overflow_reads instead)
+        flagged = np.flatnonzero(meta[:n, cfg.meta_words - 1] & 1)
         if flagged.size == 0:
             return out
         cfg_r, step_r = self._retry_step_for(cfg.L)
@@ -477,7 +486,7 @@ class TPUMapper:
         recs: List[MapRecord] = []
         for cfg, reads, lens, out in fetched:
             self.overflow_reads += int(
-                out["meta"][:len(reads), cfg.meta_words - 1].sum())
+                (out["meta"][:len(reads), cfg.meta_words - 1] != 0).sum())
             recs.extend(self._postprocess(cfg, reads, lens, out))
         return recs
 
@@ -545,7 +554,7 @@ class TPUMapper:
         text, total, valid = [], 0, 0
         for cfg, reads, lens, out in fetched:
             self.overflow_reads += int(
-                out["meta"][:len(reads), cfg.meta_words - 1].sum())
+                (out["meta"][:len(reads), cfg.meta_words - 1] != 0).sum())
             t, v = self._postprocess_sam(cfg, reads, lens, out)
             text.append(t)
             total += len(reads)

@@ -76,6 +76,11 @@ extern "C" int lrm_myers_distance(const uint8_t *q, int64_t m,
         out2[1] = 0;
         return 0;
     }
+    if (n == 0) {  // empty target: q inserts wholesale in every mode
+        out2[0] = m > k ? -1 : m;
+        out2[1] = 0;
+        return 0;
+    }
     const int64_t nw = (m + 63) >> 6;
     // per-symbol pattern masks (codes 0..3 = ACGT, 4 = N: matches nothing)
     std::vector<uint64_t> peq(5 * nw, 0);

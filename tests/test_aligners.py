@@ -289,3 +289,16 @@ def test_myers_align_k_bounded():
     assert native.myers_align(q, t, "HW", k=0) == (-1, 0, 0, [])
     ed, start, end, ops = native.myers_align(q, t, "HW", k=1)
     assert (ed, start, end) == (1, 50, 150)
+
+
+def test_myers_empty_target():
+    """n == 0 regression (round-3 review): every mode returns m (all
+    insertions), matching the numpy fallback, and k-bounds apply."""
+    q = np.array([0, 1, 2], np.uint8)
+    t = np.zeros(0, np.uint8)
+    for mode in ("NW", "SHW", "HW"):
+        assert native.myers_distance(q, t, mode) == (3, 0 if mode != "NW" else 0)
+        assert native.myers_distance(q, t, mode, k=5) == (3, 0)
+        assert native.myers_distance(q, t, mode, k=2) == (-1, 0)
+        assert native._myers_py(q, t, {"NW": 0, "SHW": 1, "HW": 2}[mode]) \
+            == (3, 0)
