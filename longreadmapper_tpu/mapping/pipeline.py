@@ -173,7 +173,11 @@ class MapperConfig:
         lam = self.n / float(4 ** self.hlen)
         mean = self.max_seeds * (1 + max(lam, 0.25))
         sigma = (self.max_seeds * max(lam, 0.25)) ** 0.5
-        want = int(mean + 5.0 * sigma) + 16
+        # LRM_VOTE_SIGMA: headroom multiplier A/B knob (default 5.0).
+        # Lower = fewer gathered sa_ctx rows per step but more retry-tier
+        # dispatches; the retry keeps results bit-identical either way.
+        mult = float(os.environ.get("LRM_VOTE_SIGMA", "5.0"))
+        want = int(mean + mult * sigma) + 16
         return min(self.vote_slots_exact, max(64, -(-want // 64) * 64))
 
 

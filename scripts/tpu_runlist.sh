@@ -1,0 +1,42 @@
+#!/bin/bash
+# Round-3 TPU capture list: runs every bench that was blocked on tunnel
+# recovery, sequentially (the tunnel serves ONE process), logging to
+# /tmp/lrm_tpu_runlist.log.  Safe to re-run; each step has its own timeout
+# and failures don't stop the list.
+#
+# Usage: bash scripts/tpu_runlist.sh [logfile]
+set -u
+cd "$(dirname "$0")/.."
+LOG="${1:-/tmp/lrm_tpu_runlist.log}"
+export JAX_COMPILATION_CACHE_DIR="$HOME/.cache/jax_cc"
+export JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS=1
+
+run() {
+  local name="$1" tmo="$2"; shift 2
+  echo "=== [$(date +%H:%M:%S)] $name: $*" >> "$LOG"
+  timeout "$tmo" "$@" >> "$LOG" 2>&1
+  echo "--- [$(date +%H:%M:%S)] $name exit=$?" >> "$LOG"
+}
+
+echo "=== runlist start $(date) ===" >> "$LOG"
+
+# 0. tunnel probe (fail fast if the far end is down)
+run probe 120 python -c "import jax; print(jax.devices())"
+grep -q "TpuDevice\|tpu" "$LOG" || { echo "NO TPU — abort" >> "$LOG"; exit 1; }
+
+# 1. headline bench (4 Mb genome, driver-format JSON line)
+run bench 3600 python bench.py
+
+# 2. Pallas band-DP A/B (VERDICT r2 #1 acceptance shape)
+run dirs_ab 3600 python scripts/bench_dirs_ab.py --b 2048 --l 1024 --w 127
+
+# 3. per-stage device phase breakdown (seed_vote ms, e2e vs device)
+run profile 3600 python scripts/profile_map.py
+
+# 4. genome-scale single-chip bench, full layout then slim
+run big_full 7200 python scripts/bench_big.py --dir /tmp/lrm_big500 \
+    --n-reads 100000 --chunk-b 2048
+run big_slim 7200 python scripts/bench_big.py --dir /tmp/lrm_big500 \
+    --n-reads 100000 --chunk-b 2048 --slim
+
+echo "=== runlist done $(date) ===" >> "$LOG"
