@@ -476,7 +476,12 @@ def _seed_vote(cfg: MapperConfig, idx: DeviceIndex, codes, lens):
     # gather with the rarely-occupied slot tail under lax.cond was built
     # and MEASURED SLOWER — 26.2 ms vs 18.2 ms at B=1024 — the cond's
     # buffer handling costs more than the skipped rows save; see
-    # CLAUDE.md ledger.)
+    # CLAUDE.md ledger.)  A hand-written Pallas replacement that reads
+    # only occupied slots is architecturally unavailable: Pallas TPU HBM
+    # access is block DMA only (no per-lane HBM gather on v5e), so the
+    # row reads would become millions of tiny DMAs, >=10x the XLA gather
+    # they replace.  XLA's gather op IS the hardware fast path here; the
+    # tunable lever is slot COUNT (vote_slots / LRM_VOTE_SIGMA).
     p_safe = jnp.clip(p_rank, 0, cfg.n - 1)
     if cfg.slim:
         sa_low = idx.sa_ctx[p_safe]                    # (BP, C)
