@@ -2,6 +2,7 @@
 
 Usage: python _mp_worker.py <pid> <nproc> <port> <ndev_per_proc> <fa> <fq>
                             <out_prefix> <shard(0|1)> <chunk_b>
+                            [model_shards]
 
 Each process forms its own 4-device virtual CPU node; the two nodes wire
 up via jax.distributed (Gloo CPU collectives) into one 8-device mesh —
@@ -13,6 +14,7 @@ import sys
 
 pid, nproc, port, ndev = (int(a) for a in sys.argv[1:5])
 fa, fq, out_prefix, shard, chunk_b = sys.argv[5:10]
+model_shards = int(sys.argv[10]) if len(sys.argv) > 10 else 0
 
 os.environ["JAX_PLATFORMS"] = "cpu"
 # the default CPU-collective deadline is 30 s; on a single-core host two
@@ -43,5 +45,6 @@ from longreadmapper_tpu.utils.config import Params
 params = Params(hlen=6, seed_len=20, thres=300, batch_size=64)
 valid, total = run_distributed(
     fa, fq, params, out_prefix=out_prefix, rg_id=0,
-    chunk_b=int(chunk_b), shard_index_tables=shard == "1", verbose=False)
+    chunk_b=int(chunk_b), shard_index_tables=shard == "1",
+    model_shards=model_shards, verbose=False)
 print(f"WORKER_OK pid={pid} valid={valid} total={total}", flush=True)
