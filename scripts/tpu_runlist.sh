@@ -31,7 +31,10 @@ run bench 3600 python bench.py
 run dirs_ab 3600 python scripts/bench_dirs_ab.py --b 2048 --l 1024 --w 127
 
 # 3. per-stage device phase breakdown (seed_vote ms, e2e vs device)
-run profile 3600 python scripts/profile_map.py
+run profile 3600 env B=2048 RL=1000 python scripts/profile_map.py
+
+# 3b. vote-slot budget A/B: fewer gathered sa_ctx rows vs retry-tier cost
+run bench_s3 3600 env LRM_VOTE_SIGMA=3.0 PASSES=3 python bench.py
 
 # 4. genome-scale single-chip bench, full layout then slim
 run big_full 7200 python scripts/bench_big.py --dir /tmp/lrm_big500 \
