@@ -34,6 +34,10 @@ def main(argv=None) -> int:
     ia.add_argument("--n-seed", type=int, default=0)
     ia.add_argument("--host-only", action="store_true",
                     help="build lchash on host instead of the accelerator")
+    ia.add_argument("--no-devidx", action="store_true",
+                    help="skip persisting the device-layout cache "
+                         "(<ref>.cat.devidx/); the first map will then "
+                         "derive and cache it instead")
     ia.add_argument("--quiet", action="store_true")
 
     ma = sub.add_parser("map", help="map reads, SAM to stdout (accaln)")
@@ -90,7 +94,7 @@ def main(argv=None) -> int:
         from .runtime.accidx import build_index
         p = Params(hlen=args.hlen, o_ratio=args.o_ratio, n_seed=args.n_seed)
         build_index(args.fasta, p, use_device=not args.host_only,
-                    verbose=not args.quiet)
+                    verbose=not args.quiet, devidx=not args.no_devidx)
         return 0
 
     if args.cmd == "warmup":

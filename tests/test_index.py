@@ -241,7 +241,11 @@ def test_device_index_cache_roundtrip(tmp_path):
     genome = make_genome(rng, 5000)
     fa = str(tmp_path / "g.fa")
     write_fasta(fa, [("c1", genome)])
-    build_index(fa, Params(hlen=5), use_device=False, verbose=False)
+    # devidx=False: keep the load-side derive+save path under test (the
+    # default build now persists the cache at index time, cli --no-devidx)
+    build_index(fa, Params(hlen=5), use_device=False, verbose=False,
+                devidx=False)
+    assert not os.path.isdir(_cache_dir(fa))
 
     idx1, meta1, mta1 = load_device_index(fa)
     assert os.path.isdir(_cache_dir(fa))
@@ -257,7 +261,10 @@ def test_device_index_cache_roundtrip(tmp_path):
     # rebuild the index from a different genome (same file names)
     genome2 = make_genome(np.random.default_rng(24), 5000)
     write_fasta(fa, [("c1", genome2)])
-    build_index(fa, Params(hlen=5), use_device=False, verbose=False)
+    # devidx=False leaves the now-STALE phase-1 cache in place: the load
+    # must reject it by artifact fingerprint and rebuild
+    build_index(fa, Params(hlen=5), use_device=False, verbose=False,
+                devidx=False)
     idx3, meta3, _ = load_device_index(fa)
     assert not np.array_equal(np.asarray(idx3.sa_ctx),
                               np.asarray(idx1.sa_ctx))
