@@ -24,21 +24,31 @@ echo "=== runlist start $(date) ===" >> "$LOG"
 run probe 120 python -c "import jax; print(jax.devices())"
 grep -q "TpuDevice\|tpu" "$LOG" || { echo "NO TPU — abort" >> "$LOG"; exit 1; }
 
+# Ordered most-valuable-first in case the tunnel flaps mid-list.
+
 # 1. headline bench (4 Mb genome, driver-format JSON line)
 run bench 3600 python bench.py
 
-# 2. Pallas band-DP A/B (VERDICT r2 #1 acceptance shape)
-run dirs_ab 3600 python scripts/bench_dirs_ab.py --b 2048 --l 1024 --w 127
-
-# 3. per-stage device phase breakdown (seed_vote ms, e2e vs device)
-run profile 3600 env B=2048 RL=1000 python scripts/profile_map.py
-
-# 3b. vote-slot budget A/B: fewer gathered sa_ctx rows vs retry-tier cost
-run bench_s3 3600 env LRM_VOTE_SIGMA=3.0 PASSES=3 python bench.py
-
-# 4. genome-scale single-chip bench, full layout then slim
+# 2. genome-scale single-chip bench (the never-measured real-TPU row)
 run big_full 7200 python scripts/bench_big.py --dir /tmp/lrm_big500 \
     --n-reads 100000 --chunk-b 2048
+
+# 3. Pallas band-DP A/B (VERDICT r2 #1 acceptance shape)
+run dirs_ab 3600 python scripts/bench_dirs_ab.py --b 2048 --l 1024 --w 127
+
+# 4. per-stage device phase breakdown (seed_vote ms, e2e vs device)
+run profile 3600 env B=2048 RL=1000 python scripts/profile_map.py
+
+# 5. vote-slot budget A/B: fewer gathered sa_ctx rows vs retry-tier cost
+run bench_s3 3600 env LRM_VOTE_SIGMA=3.0 PASSES=3 python bench.py
+
+# 6. dispatch-latency amortization: one bigger chunk bucket
+run bench_b4096 3600 env CHUNK_B=4096 PASSES=3 python bench.py
+
+# 7. Pallas dirs kernel in the full step (only meaningful if #3 wins)
+run bench_pallas 3600 env LRM_PALLAS_DIRS=1 PASSES=3 python bench.py
+
+# 8. genome-scale slim-layout variant
 run big_slim 7200 python scripts/bench_big.py --dir /tmp/lrm_big500 \
     --n-reads 100000 --chunk-b 2048 --slim
 
