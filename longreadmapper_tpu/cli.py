@@ -102,7 +102,8 @@ def main(argv=None) -> int:
         from .models.mapper import TPUMapper
         from .utils.log import new_logger
         log = new_logger(verbose=not args.quiet)
-        idx, meta, mta = load_device_index(args.fasta)
+        idx, meta, mta = load_device_index(args.fasta,
+                                           verbose=not args.quiet)
         mapper = TPUMapper(idx, meta, mta, read_params(),
                            chunk_b=args.chunk_b)
         lengths = [int(x) for x in args.lengths.split(",") if x]

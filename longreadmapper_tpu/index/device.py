@@ -350,6 +350,7 @@ def _load_device_cache(genome_path: str, force_pos_dtype: str | None,
 
 def load_device_index(genome_path: str, force_pos_dtype: str | None = None,
                       cache: bool = True, slim: bool = False,
+                      verbose: bool = True,
                       ) -> tuple[DeviceIndex, IndexMeta, list[MtaEntry]]:
     """Load the persisted artifact set (.mta/.cat/.sa5/.mfi/.lch) to device —
     the accaln `init` equivalent (alnmain.c:179-256).
@@ -360,7 +361,7 @@ def load_device_index(genome_path: str, force_pos_dtype: str | None = None,
     scale index load from O(n) recompute into O(n) sequential fread."""
     from ..utils.log import new_logger
 
-    log = new_logger()
+    log = new_logger(verbose=verbose)
     mta = load_mta(genome_path + ".mta")
     if cache:
         hit = _load_device_cache(genome_path, force_pos_dtype, slim=slim)

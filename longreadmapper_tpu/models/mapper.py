@@ -244,28 +244,43 @@ class TPUMapper:
 
         t0 = time.time()
         buckets = sorted({_bucket_len(int(l)) for l in lengths})
+        sds = jax.ShapeDtypeStruct
 
-        def compile_one(L):
-            sds = jax.ShapeDtypeStruct
+        def _enc_args(cfg):
+            return (self.idx,
+                    sds((cfg.B, cfg.L), jnp.int8), sds((cfg.B, cfg.L), jnp.int8),
+                    sds((cfg.B,), jnp.int32), sds((cfg.B,), jnp.int32))
+
+        def variants(L):
+            # every step variant _prepare_chunk/_retry_overflow can dispatch
+            # mid-stream: host-encode (ragged chunks / mesh), raw
+            # device-encode (uniform chunks), and the exact-slots overflow
+            # retry tier — a "successful" warmup must leave NO 1-4 min
+            # compile for any of them
+            cfg, step = self._step_for(L)
+            yield step, _enc_args(cfg)
             if self._raw_ok:
-                # dispatch uses the raw (device-encode) variant for the
-                # uniform chunks warmup/bench/sweeps produce
-                cfg, step = self._raw_step_for(L)
-                args = (self.idx, sds((cfg.B, L), jnp.uint8),
-                        sds((cfg.B,), jnp.int32), sds((cfg.B,), jnp.int32))
-            else:
-                cfg, step = self._step_for(L)
-                args = (self.idx,
-                        sds((cfg.B, L), jnp.int8), sds((cfg.B, L), jnp.int8),
-                        sds((cfg.B,), jnp.int32), sds((cfg.B,), jnp.int32))
+                cfg_r, step_r = self._raw_step_for(L)
+                yield step_r, (self.idx, sds((cfg_r.B, L), jnp.uint8),
+                               sds((cfg_r.B,), jnp.int32),
+                               sds((cfg_r.B,), jnp.int32))
+            if self.mesh is None and not cfg.exact_slots \
+                    and cfg.vote_slots < cfg.vote_slots_exact:
+                cfg_t, step_t = self._retry_step_for(L)
+                yield step_t, _enc_args(cfg_t)
+
+        tasks = [v for L in buckets for v in variants(L)]
+
+        def compile_one(task):
+            step, args = task
             step.lower(*args).compile()
 
-        if concurrent and len(buckets) > 1:
-            with ThreadPoolExecutor(max_workers=len(buckets)) as ex:
-                list(ex.map(compile_one, buckets))
+        if concurrent and len(tasks) > 1:
+            with ThreadPoolExecutor(max_workers=len(tasks)) as ex:
+                list(ex.map(compile_one, tasks))
         else:
-            for L in buckets:
-                compile_one(L)
+            for t in tasks:
+                compile_one(t)
         return time.time() - t0
 
     def _prepare_chunk(self, reads):

@@ -35,7 +35,8 @@ def run_mapping(genome_path: str, reads_path: str,
 
     log.vlog("Start initialization")
     t0 = log.vlog("loading index artifacts for %s", genome_path)
-    idx, meta, mta = load_device_index(genome_path, slim=slim)
+    idx, meta, mta = load_device_index(genome_path, slim=slim,
+                                       verbose=verbose)
     log.vlog("index loaded in %.2fs (n=%d, hlen=%d, %s positions)",
              log.elapse(t0), meta.n, meta.hlen, meta.pos_dtype)
     log.vlog("Current settings:")

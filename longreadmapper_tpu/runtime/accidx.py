@@ -54,19 +54,18 @@ def build_index(fasta_path: str, params: Params | None = None,
     # compiles — byte-identical to the reference's 4^hlen serial backward
     # searches (tests/test_index.py) and the right default everywhere.  The
     # batched device scan only pays off on a real accelerator.
+    cat = load_cat(prefix)  # one pass; re-reading is ~45 s/scan at hg19 scale
     if use_device and _accelerator_present():
         try:
-            cat = load_cat(prefix)
             idx, meta = build_device_index(
                 fmi, np.zeros((1 << (2 * p.hlen), 2), np.uint64), p.hlen, cat, mta)
             kl = lc_build_device(idx.packed, idx.occ_samp, idx.c4,
                                  meta.dollar_pos, meta.n, p.hlen)
         except Exception as e:  # no accelerator / OOM -> host build
             log.elog("device lc_build failed (%s); falling back to host", e)
-            kl = lc_build_from_sa(fmi.sa, encode_bytes(load_cat(prefix)),
-                                  p.hlen)
+            kl = lc_build_from_sa(fmi.sa, encode_bytes(cat), p.hlen)
     else:
-        kl = lc_build_from_sa(fmi.sa, encode_bytes(load_cat(prefix)), p.hlen)
+        kl = lc_build_from_sa(fmi.sa, encode_bytes(cat), p.hlen)
     write_lch(prefix + ".lch", p.hlen, kl)
     log.vlog("lc_build done in %.2fs", log.elapse(t0))
 
@@ -79,8 +78,7 @@ def build_index(fasta_path: str, params: Params | None = None,
         from ..index.device import _assemble_host_arrays, save_device_cache
 
         t0 = log.vlog("devidx: assembling the device-layout cache")
-        arrays, meta = _assemble_host_arrays(fmi, kl, p.hlen,
-                                             load_cat(prefix), mta)
+        arrays, meta = _assemble_host_arrays(fmi, kl, p.hlen, cat, mta)
         save_device_cache(fasta_path, arrays, meta)
         log.vlog("devidx cache written in %.2fs (pos_dtype=%s)",
                  log.elapse(t0), meta.pos_dtype)

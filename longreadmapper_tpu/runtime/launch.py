@@ -95,7 +95,8 @@ def run_distributed(genome_path: str, reads_path: str,
     t0 = log.vlog("process %d/%d: %d devices, mesh data=%d model=%d%s",
                   pid, nproc, ndev, ndev // n_model, n_model,
                   " (index tables sharded)" if shard_index_tables else "")
-    idx, meta, mta = load_device_index(genome_path)
+    idx, meta, mta = load_device_index(genome_path,
+                                       verbose=verbose and pid == 0)
     log.vlog("index loaded in %.2fs (n=%d)", log.elapse(t0), meta.n)
 
     if out_prefix is None and nproc == 1:

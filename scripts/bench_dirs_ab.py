@@ -39,8 +39,13 @@ def main(argv=None) -> int:
     import jax
     import jax.numpy as jnp
 
-    from longreadmapper_tpu.ops.band_pallas import banded_nw_dirs_vt
+    from longreadmapper_tpu.ops.band_pallas import (HAVE_PALLAS,
+                                                    banded_nw_dirs_vt)
     from longreadmapper_tpu.ops.wavefront import banded_nw_dirs_v
+
+    if not HAVE_PALLAS:
+        print("pallas unavailable in this jaxlib — cannot A/B", file=sys.stderr)
+        return 2
 
     B, L, W = args.b, args.l, args.w
     band = -(-(2 * W + 1) // 128) * 128

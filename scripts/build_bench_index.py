@@ -28,10 +28,17 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
 
 import numpy as np
 
-# host-only build: force the CPU backend IN-PROCESS — the axon
-# sitecustomize force-selects the TPU platform even when
-# JAX_PLATFORMS=cpu is in the env (tests/conftest.py), and a build
-# process must never hold the single TPU tunnel for an hour
+# host-only build: a build process must never hold (or dial) the single
+# TPU tunnel for an hour.  The axon sitecustomize registers at interpreter
+# startup and its plugin dials the relay at `import jax` — which HANGS
+# when the tunnel's far end is down, even with JAX_PLATFORMS=cpu
+# (CLAUDE.md).  Registration is gated on PALLAS_AXON_POOL_IPS, so re-exec
+# ourselves without it before jax ever loads.
+if os.environ.get("PALLAS_AXON_POOL_IPS"):
+    env = {k: v for k, v in os.environ.items()
+           if k != "PALLAS_AXON_POOL_IPS"}
+    os.execve(sys.executable, [sys.executable] + sys.argv, env)
+
 import jax
 
 jax.config.update("jax_platforms", "cpu")

@@ -20,9 +20,14 @@ run() {
 
 echo "=== runlist start $(date) ===" >> "$LOG"
 
-# 0. tunnel probe (fail fast if the far end is down)
-run probe 120 python -c "import jax; print(jax.devices())"
-grep -q "TpuDevice\|tpu" "$LOG" || { echo "NO TPU — abort" >> "$LOG"; exit 1; }
+# 0. tunnel probe (fail fast if the far end is down).  Probe into its own
+# file — grepping the append-only $LOG would match a PREVIOUS run's
+# device lines and burn hours of timeouts against a dead tunnel.
+PROBE=$(mktemp)
+timeout 120 python -c "import jax; print(jax.devices())" > "$PROBE" 2>&1
+cat "$PROBE" >> "$LOG"
+grep -q "TpuDevice\|tpu" "$PROBE" || { echo "NO TPU — abort" >> "$LOG"; rm -f "$PROBE"; exit 1; }
+rm -f "$PROBE"
 
 # Ordered most-valuable-first in case the tunnel flaps mid-list.
 

@@ -28,12 +28,26 @@ BIG_SA = os.environ.get("LRM_BIG_SA") == "1"
 BIG = os.environ.get("LRM_BIG") == "1"
 
 
+def _child_env(*drop):
+    """Subprocess env that can NEVER dial the TPU tunnel: the axon
+    sitecustomize registers at interpreter startup (before any script code
+    runs), so PALLAS_AXON_POOL_IPS must be dropped in the PARENT — an
+    in-script os.environ.pop is too late when the far end is down
+    (CLAUDE.md: hour-scale hangs at import)."""
+    return {k: v for k, v in os.environ.items()
+            if k != "PALLAS_AXON_POOL_IPS" and k not in drop}
+
+
 @pytest.mark.skipif(not BIG_SA, reason="set LRM_BIG_SA=1 (needs ~70 GB RAM, ~30+ min)")
 def test_big_sa_build(tmp_path):
     """SA of a 2.5e9-byte text on this host, within RAM budget."""
     script = r"""
 import os, sys
-os.environ["JAX_PLATFORMS"] = "cpu"   # host-only build: never dial the TPU
+# host-only build: never dial the TPU.  JAX_PLATFORMS=cpu alone does NOT
+# stop the axon sitecustomize from dialing the relay at import (CLAUDE.md);
+# only dropping PALLAS_AXON_POOL_IPS skips registration entirely.
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ.pop("PALLAS_AXON_POOL_IPS", None)
 import numpy as np, time, resource
 sys.path.insert(0, %(repo)r)
 from longreadmapper_tpu import native
@@ -76,7 +90,7 @@ peak_gb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
 print(f"BIG_SA_OK n={n} build_s={t1-t0:.0f} peak_gb={peak_gb:.1f}")
 """ % dict(repo="/root/repo", out=str(tmp_path / "big.sa5"))
     r = subprocess.run([sys.executable, "-c", script], capture_output=True,
-                       text=True, timeout=7200)
+                       text=True, timeout=7200, env=_child_env())
     assert r.returncode == 0, r.stderr[-3000:]
     assert "BIG_SA_OK" in r.stdout, r.stdout
     print(r.stdout.strip())
@@ -93,12 +107,15 @@ def test_big_map_end_to_end(tmp_path):
     r = subprocess.run([sys.executable, gen, "--out", fa, "--size",
                        str(genome_mb * 1_000_000), "--contigs", "4",
                        "--seed", "3"], capture_output=True, text=True,
-                       timeout=3600)
+                       timeout=3600, env=_child_env())
     assert r.returncode == 0, r.stderr[-2000:]
 
     build = r"""
 import os, sys, time
-os.environ["JAX_PLATFORMS"] = "cpu"   # host-only build: never dial the TPU
+# host-only build: never dial the TPU (drop the axon pool var too —
+# JAX_PLATFORMS=cpu alone still dials the relay at import, CLAUDE.md)
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ.pop("PALLAS_AXON_POOL_IPS", None)
 sys.path.insert(0, %(repo)r)
 from longreadmapper_tpu.runtime.accidx import build_index
 from longreadmapper_tpu.utils.config import Params
@@ -108,7 +125,7 @@ print(f"BIG_BUILD_OK s={time.time()-t0:.0f}")
 """
     r = subprocess.run([sys.executable, "-c", build % dict(
         repo="/root/repo", fa=fa)], capture_output=True, text=True,
-        timeout=7200)
+        timeout=7200, env=_child_env())
     assert r.returncode == 0, r.stderr[-3000:]
     assert "BIG_BUILD_OK" in r.stdout, r.stdout[-2000:]
 
@@ -116,6 +133,7 @@ print(f"BIG_BUILD_OK s={time.time()-t0:.0f}")
     mapper = r"""
 import os, sys, time
 os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ.pop("PALLAS_AXON_POOL_IPS", None)
 os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
                            + " --xla_force_host_platform_device_count=8")
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
@@ -189,8 +207,7 @@ assert [(r.rname, r.off, r.flag, r.ed) for r in recs2] == first
 assert reload_s < 600, reload_s
 print(f"BIG_CACHE_RELOAD_OK restart_to_first_sam_s={reload_s:.0f}")
 """
-    env = {k: v for k, v in os.environ.items()
-           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    env = _child_env("XLA_FLAGS", "JAX_PLATFORMS")
     r = subprocess.run([sys.executable, "-c", mapper % dict(
         repo="/root/repo", fa=fa)], capture_output=True, text=True,
         timeout=7200, env=env)

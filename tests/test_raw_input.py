@@ -60,7 +60,7 @@ def test_raw_vs_host_encode(tmp_path, monkeypatch):
     # pad rows exist too (30 reads < chunk 32)
 
     ra = mapper.map_chunk(reads)
-    assert any(p is not None for p in [1])  # sanity: ran
+    assert len(ra) == len(reads)
     monkeypatch.setenv("LRM_HOST_ENCODE", "1")
     rb = mapper.map_chunk(reads)
     monkeypatch.delenv("LRM_HOST_ENCODE")

@@ -146,4 +146,4 @@ def test_slim_cache_derivation(tmp_path):
                    ).map_chunk(reads)
     for a, b in zip(ra, rb):
         assert (a.valid, a.ed, a.off, a.cigar) == \
-               (b.valid, b.ed, b.off, b.cigar), a.name
+               (b.valid, b.ed, b.off, b.cigar), (a.qname, a, b)
