@@ -180,6 +180,39 @@ class MapperConfig:
         want = int(mean + mult * sigma) + 16
         return min(self.vote_slots_exact, max(64, -(-want // 64) * 64))
 
+    # packed slot layout (LRM_SLOT_PACK=2|4): one gathered row covers
+    # `slot_pack` ADJACENT sa_ctx rows.  A seed's votes are a CONTIGUOUS
+    # SA interval [k, k+cnt), so assignment can run in pack-units of
+    # ceil((k%pack + cnt)/pack) rows per seed — fewer, wider gather rows
+    # for the step's dominant gather.  Pays off iff the TPU gather cost
+    # is per-ROW rather than per-element (scripts/bench_gather.py row-
+    # width sweep); flat layout (pack=1) is the default.
+    slot_pack: int = 1
+
+    @property
+    def pack(self) -> int:
+        # the exact-slots retry tier keeps the flat layout (its job is
+        # bit-exact reference semantics independent of the packed fast
+        # path); mesh steps set exact_slots and ride the same guard
+        return 1 if self.exact_slots else self.slot_pack
+
+    @property
+    def slot_rows(self) -> int:
+        """Gather rows (= assignment slots) per (read, phase)."""
+        p = self.pack
+        if p == 1:
+            return self.vote_slots
+        lam = max(self.n / float(4 ** self.hlen), 0.25)
+        # units/seed = ceil((k%p + 1 + Poisson(lam))/p): mean (lam+p)/p
+        # exactly (k%p ~ U[0,p)); variance = background lam/p^2 plus
+        # alignment jitter <= 1/4
+        mean = self.max_seeds * (1.0 + lam / p)
+        var = self.max_seeds * (lam / (p * p) + 0.25)
+        mult = float(os.environ.get("LRM_VOTE_SIGMA", "5.0"))
+        want = int(mean + mult * var ** 0.5) + 8
+        cap = -(-self.vote_slots_exact // p)
+        return min(cap, max(32, -(-want // 8) * 8))
+
 
     @property
     def W(self) -> int:
@@ -204,7 +237,9 @@ class MapperConfig:
             dollar_pos=meta.dollar_pos, accept_score=p.accept_score,
             error_rate=p.error_rate, vote_budget=p.vote_budget,
             pos64=meta.pos_dtype == "int64", slim=meta.slim,
-            pallas_dirs=os.environ.get("LRM_PALLAS_DIRS", "") == "1")
+            pallas_dirs=os.environ.get("LRM_PALLAS_DIRS", "") == "1",
+            slot_pack=(lambda v: v if v in (1, 2, 4) else 1)(
+                int(os.environ.get("LRM_SLOT_PACK", "1"))))
 
 
 def _position_tables(cfg: MapperConfig, codes):
@@ -328,7 +363,8 @@ def _join_hi(lo, hi):
             | lo.astype(jnp.uint32).astype(jnp.int64))
 
 
-def _slots_by_sort(cfg: MapperConfig, cnt, k_seed, qw, j_ps, wide):
+def _slots_by_sort(cfg: MapperConfig, cnt, k_seed, qw, j_ps, wide,
+                   extras=(), n_slots=None):
     """Slot -> seed assignment by merge-sort instead of the owns matrix.
 
     The owns-matrix reduce materializes (B*P, S, C) — fine for short
@@ -340,9 +376,13 @@ def _slots_by_sort(cfg: MapperConfig, cnt, k_seed, qw, j_ps, wide):
     (associative scan), then stable-sort the slot probes back to the
     front.  Produces bit-identical (p_rank, qw, j, wide) per slot to the
     owns path (property-tested in tests/test_ops.py).
+
+    `extras`: per-seed (BP, S) arrays forwarded onto owning slots like qw
+    (zeroed on empty slots); returned as a trailing tuple.  `n_slots`
+    overrides cfg.vote_slots (the packed layout assigns pack-units).
     """
     BP, S = cnt.shape
-    C = cfg.vote_slots
+    C = n_slots or cfg.vote_slots
     pdt = k_seed.dtype
     cum = jnp.cumsum(cnt, axis=1)
     starts = cum - cnt
@@ -358,33 +398,35 @@ def _slots_by_sort(cfg: MapperConfig, cnt, k_seed, qw, j_ps, wide):
     qw_all = jnp.concatenate([qw, z32], axis=1)
     aux_all = jnp.concatenate(
         [((j_ps + 1) << 1) | wide.astype(jnp.int32), z32], axis=1)
+    ex_all = tuple(jnp.concatenate(
+        [e, jnp.zeros((BP, C), e.dtype)], axis=1) for e in extras)
     isslot = jnp.concatenate(
         [jnp.zeros((BP, S), jnp.int8), jnp.ones((BP, C), jnp.int8)], axis=1)
 
-    k_s, d_s, qw_s, aux_s, slot_s = lax.sort(
-        (keys, d_all, qw_all, aux_all, isslot), dimension=1,
-        is_stable=True, num_keys=1)
+    srt = lax.sort((keys, d_all, qw_all, aux_all) + ex_all + (isslot,),
+                   dimension=1, is_stable=True, num_keys=1)
+    d_s, qw_s, aux_s = srt[1:4]
+    ex_s = srt[4:-1]
+    slot_s = srt[-1]
 
     # forward-fill the latest SEED record onto following slot probes
     def fill(a, b):
-        da, qa, aa, fa = a
-        db, qb, ab, fb = b
-        keep_b = fb > 0
-        return (jnp.where(keep_b, db, da), jnp.where(keep_b, qb, qa),
-                jnp.where(keep_b, ab, aa), jnp.maximum(fa, fb))
+        keep_b = b[-1] > 0
+        vals = tuple(jnp.where(keep_b, bv, av)
+                     for av, bv in zip(a[:-1], b[:-1]))
+        return vals + (jnp.maximum(a[-1], b[-1]),)
 
     seen = (1 - slot_s).astype(jnp.int32)       # 1 at seed records
-    d_f, qw_f, aux_f, seen_f = lax.associative_scan(
-        fill, (jnp.where(slot_s == 0, d_s, 0),
-               jnp.where(slot_s == 0, qw_s, 0),
-               jnp.where(slot_s == 0, aux_s, 0), seen), axis=1)
+    payload = tuple(jnp.where(slot_s == 0, v, jnp.zeros_like(v))
+                    for v in (d_s, qw_s, aux_s) + ex_s) + (seen,)
+    filled = lax.associative_scan(fill, payload, axis=1)
 
     # slot probes back to the front, in slot order (stable)
-    _, d_o, qw_o, aux_o, seen_o = lax.sort(
-        ((1 - slot_s).astype(jnp.int32), d_f, qw_f, aux_f, seen_f),
-        dimension=1, is_stable=True, num_keys=1)
-    d_o, qw_o, aux_o, seen_o = (a[:, :C] for a in
-                                (d_o, qw_o, aux_o, seen_o))
+    back = lax.sort(((1 - slot_s).astype(jnp.int32),) + filled,
+                    dimension=1, is_stable=True, num_keys=1)
+    d_o, qw_o, aux_o = (a[:, :C] for a in back[1:4])
+    ex_o = tuple(a[:, :C] for a in back[4:-1])
+    seen_o = back[-1][:, :C]
 
     slot_idx = jnp.arange(C, dtype=jnp.int32)[None, :]
     total = cum[:, -1]
@@ -393,12 +435,35 @@ def _slots_by_sort(cfg: MapperConfig, cnt, k_seed, qw, j_ps, wide):
     qw_slot = qw_o
     wide_slot = slot_valid & ((aux_o & 1) > 0)
     j_slot = jnp.where(slot_valid, (aux_o >> 1) - 1, -1)
-    return p_rank, qw_slot, wide_slot, j_slot, total
+    ex_slot = tuple(jnp.where(slot_valid, e, jnp.zeros_like(e))
+                    for e in ex_o)
+    return p_rank, qw_slot, wide_slot, j_slot, total, ex_slot
+
+
+def _ctx_window(cfg: MapperConfig, idx: DeviceIndex, sa12):
+    """Slim-layout verify window: recompute the ctx word _pack_ctx_words
+    would have fused — one (R,2) adjacent-word gather from the padded
+    text pairs (rows [padded[w], padded[w+1]]); w0's +1 is the pad offset.
+    start in [-16, n-17]; int32/int64 >> and & 15 give floor semantics
+    for the negative sub-word offsets."""
+    left = cfg.left
+    start = sa12 - 16
+    w0 = lax.shift_right_arithmetic(start, np.int32(4) if not
+                                    cfg.pos64 else 4) + 1
+    o = (start & 15).astype(jnp.uint32)
+    pair = idx.text_pair[jnp.clip(w0, 0, idx.text_pair.shape[0] - 1)]
+    lo = lax.shift_right_logical(pair[..., 0].astype(jnp.uint32), 2 * o)
+    # o == 0 would shift by 32 (undefined on u32): mask it off
+    hi = jnp.where(o == 0, jnp.uint32(0),
+                   pair[..., 1].astype(jnp.uint32)
+                   << jnp.minimum(32 - 2 * o, np.uint32(31)))
+    ctx = lo | hi
+    return lax.shift_right_logical(ctx, np.uint32(2 * (16 - left)))
 
 
 def _seed_vote(cfg: MapperConfig, idx: DeviceIndex, codes, lens):
     """All seeding phases in one batched pass; returns (best, overflow)."""
-    B, P, S, C = cfg.B, cfg.phases, cfg.max_seeds, cfg.vote_slots
+    B, P, S = cfg.B, cfg.phases, cfg.max_seeds
     left = cfg.left
     BP = B * P
 
@@ -451,23 +516,46 @@ def _seed_vote(cfg: MapperConfig, idx: DeviceIndex, codes, lens):
     # materialize TBs at 50 kb.  Genome-scale slot counts also blow the
     # owns transient (4 GB at B=2048, C=512), so big products take the
     # sort path too (bit-identical, property-tested).
-    if cfg.use_gact or B * P * S * C > (1 << 28):
-        p_rank, qw_slot, wide_slot, j_slot, total = _slots_by_sort(
-            cfg, cnt, k_seed, qw, j_ps, is_wide)
+    #
+    # Packed layout (cfg.pack > 1): a seed's votes are the CONTIGUOUS SA
+    # rows [k, k+cnt), so assignment runs in units of `pk` adjacent rows
+    # — ceil((k%pk + cnt)/pk) units per seed — and each gather row later
+    # fetches pk (sa, ctx) entries at once.  The seed's absolute k and
+    # cnt ride along as slot extras to mask the unit-edge positions that
+    # fall outside [k, k+cnt).
+    pk = cfg.pack
+    CS = cfg.slot_rows
+    if pk > 1:
+        shiftp = pk.bit_length() - 1
+        a_base = k_seed >> shiftp
+        a_cnt = jnp.where(
+            cnt > 0,
+            ((k_seed & (pk - 1)).astype(jnp.int32) + cnt + pk - 1)
+            >> shiftp, 0)
+        extras = (k_seed, cnt)
     else:
-        cum = jnp.cumsum(cnt, axis=1)
+        a_base, a_cnt, extras = k_seed, cnt, ()
+
+    if cfg.use_gact or B * P * S * CS > (1 << 28):
+        p_rank, qw_slot, wide_slot, j_slot, total, ex_slot = _slots_by_sort(
+            cfg, a_cnt, a_base, qw, j_ps, is_wide, extras=extras,
+            n_slots=CS)
+    else:
+        cum = jnp.cumsum(a_cnt, axis=1)
         total = cum[:, -1]
-        starts = cum - cnt
-        slots = jnp.arange(C, dtype=jnp.int32)[None, None, :]
+        starts = cum - a_cnt
+        slots = jnp.arange(CS, dtype=jnp.int32)[None, None, :]
         owns = (starts[:, :, None] <= slots) & (slots < cum[:, :, None])
         o32 = owns.astype(jnp.int32)
-        p_rank = (jnp.sum(o32 * (k_seed - starts)[:, :, None], axis=1)
+        p_rank = (jnp.sum(o32 * (a_base - starts)[:, :, None], axis=1)
                   + slots[0])
         qw_slot = jnp.sum(o32 * qw[:, :, None], axis=1)
         wide_slot = jnp.sum(o32 * is_wide.astype(jnp.int32)[:, :, None],
                             axis=1) > 0
         # j+1 so empty slots carry -1 (distinct from any real seed's j)
         j_slot = jnp.sum(o32 * (j_ps + 1)[:, :, None], axis=1) - 1
+        ex_slot = tuple(jnp.sum(o32 * e[:, :, None], axis=1)
+                        for e in extras)
     valid = j_slot >= 0
 
     # ONE fused gather per vote: (SA value, packed 16-base left context).
@@ -482,53 +570,78 @@ def _seed_vote(cfg: MapperConfig, idx: DeviceIndex, codes, lens):
     # row reads would become millions of tiny DMAs, >=10x the XLA gather
     # they replace.  XLA's gather op IS the hardware fast path here; the
     # tunable lever is slot COUNT (vote_slots / LRM_VOTE_SIGMA).
-    p_safe = jnp.clip(p_rank, 0, cfg.n - 1)
-    if cfg.slim:
-        sa_low = idx.sa_ctx[p_safe]                    # (BP, C)
-        sa12 = _join_hi(sa_low, idx.sa_hi[p_safe]) if cfg.pos64 else sa_low
-        if left > 0:
-            # recompute the ctx word _pack_ctx_words would have fused:
-            # one (R,2) adjacent-word gather from the padded text pairs
-            # (rows [padded[w], padded[w+1]]); w0's +1 is the pad offset.
-            # start in [-16, n-17]; int32/int64 >> and & 15 give floor
-            # semantics for the negative sub-word offsets
-            start = sa12 - 16
-            w0 = lax.shift_right_arithmetic(start, np.int32(4) if not
-                                            cfg.pos64 else 4) + 1
-            o = (start & 15).astype(jnp.uint32)
-            pair = idx.text_pair[jnp.clip(w0, 0, idx.text_pair.shape[0] - 1)]
-            lo = lax.shift_right_logical(pair[..., 0].astype(jnp.uint32),
-                                         2 * o)
-            # o == 0 would shift by 32 (undefined on u32): mask it off
-            hi = jnp.where(o == 0, jnp.uint32(0),
-                           pair[..., 1].astype(jnp.uint32)
-                           << jnp.minimum(32 - 2 * o, np.uint32(31)))
-            ctx = lo | hi
-            win = lax.shift_right_logical(ctx, np.uint32(2 * (16 - left)))
-            verified = valid & (wide_slot | ((sa12 >= left) &
-                                (win == qw_slot.astype(jnp.uint32))))
+    if pk == 1:
+        p_safe = jnp.clip(p_rank, 0, cfg.n - 1)
+        if cfg.slim:
+            sa_low = idx.sa_ctx[p_safe]                # (BP, C)
+            sa12 = (_join_hi(sa_low, idx.sa_hi[p_safe]) if cfg.pos64
+                    else sa_low)
+            ctx_col = None
         else:
-            verified = valid
+            row = idx.sa_ctx[p_safe]                   # (BP, C, 2)
+            if cfg.pos64:
+                sa12 = _join_hi(row[..., 0], idx.sa_hi[p_safe])
+            else:
+                sa12 = row[..., 0]
+            ctx_col = row[..., 1]
+        valid_v, qw_v, wide_v, j_v = valid, qw_slot, wide_slot, j_slot
     else:
-        row = idx.sa_ctx[p_safe]                       # (BP, C, 2)
+        # packed gather: CS rows of pk adjacent (sa, ctx) entries each,
+        # expanded to CS*pk votes; unit-edge positions outside the owning
+        # seed's [k, k+cnt) are masked via the forwarded extras
+        kfwd, cntfwd = ex_slot
+        n_tbl = idx.sa_ctx.shape[0]
+        n_units = -(-n_tbl // pk)
+        padr = n_units * pk - n_tbl
+
+        def _units(t, w):
+            # padr > 0 copies the table once per step (~40 us at the 4 Mb
+            # bench — fine for the A/B).  If pack graduates to default,
+            # pad sa_ctx/sa_hi to 4-row multiples at build time instead
+            # (devidx version bump) so this branch is statically dead.
+            tp = t if padr == 0 else jnp.concatenate(
+                [t, jnp.zeros((padr,) + t.shape[1:], t.dtype)], axis=0)
+            return tp.reshape(n_units, w)
+
+        u_safe = jnp.clip(p_rank, 0, n_units - 1)
+
+        def rep(a):
+            return jnp.repeat(a, pk, axis=1)
+
+        if cfg.slim:
+            sa_low = _units(idx.sa_ctx, pk)[u_safe].reshape(BP, CS * pk)
+            ctx_col = None
+        else:
+            rowg = _units(idx.sa_ctx, 2 * pk)[u_safe].reshape(
+                BP, CS * pk, 2)
+            sa_low = rowg[..., 0]
+            ctx_col = rowg[..., 1]
         if cfg.pos64:
-            sa12 = _join_hi(row[..., 0], idx.sa_hi[p_safe])
+            hi8 = _units(idx.sa_hi, pk)[u_safe].reshape(BP, CS * pk)
+            sa12 = _join_hi(sa_low, hi8)
         else:
-            sa12 = row[..., 0]
-        if left > 0:
-            win = lax.shift_right_logical(
-                row[..., 1].astype(jnp.uint32), np.uint32(2 * (16 - left)))
-            verified = valid & (wide_slot | ((sa12 >= left) &
-                                (win == qw_slot.astype(jnp.uint32))))
-        else:
-            verified = valid
+            sa12 = sa_low
+        half = jnp.tile(jnp.arange(pk, dtype=jnp.int32), CS)[None, :]
+        posa = rep(p_rank) * pk + half.astype(p_rank.dtype)
+        kv, cv = rep(kfwd), rep(cntfwd)
+        valid_v = rep(valid) & (posa >= kv) & (posa < kv + cv)
+        qw_v, wide_v, j_v = rep(qw_slot), rep(wide_slot), rep(j_slot)
+
+    if left > 0:
+        win = (_ctx_window(cfg, idx, sa12) if cfg.slim else
+               lax.shift_right_logical(ctx_col.astype(jnp.uint32),
+                                       np.uint32(2 * (16 - left))))
+        verified = valid_v & (wide_v | ((sa12 >= left) &
+                              (win == qw_v.astype(jnp.uint32))))
+    else:
+        verified = valid_v
 
     # informative filter (alnmain.c:360: 0 < hits < thres) is already
     # implied: non-wide seeds have verified-count <= cnt12 < thres by the
     # wide cutoff, and narrowed wide seeds were filtered to hits < thres at
     # narrowing time — so no per-slot recheck is needed here
     vote_ok = verified
-    keys = sa12 - jnp.where(wide_slot, 0, left) - j_slot  # diagonal = SA - j
+    keys = sa12 - jnp.where(wide_v, 0, left) - j_v  # diagonal = SA - j
 
     v1, key1, v2 = top2_votes(keys, vote_ok)           # (BP,)
     v1 = v1.reshape(B, P)
@@ -560,7 +673,7 @@ def _seed_vote(cfg: MapperConfig, idx: DeviceIndex, codes, lens):
     # executes (0 .. accepted phase inclusive; all P when none accepted) —
     # a dropped vote in a never-run later phase cannot affect the mapping
     executed = pidx <= jnp.where(any_acc, it_star, P - 1)[:, None]
-    per_phase_ovf = ((total > C) | wide_overflow).reshape(B, P)
+    per_phase_ovf = ((total > CS) | wide_overflow).reshape(B, P)
     overflow = jnp.any(per_phase_ovf & executed, axis=1)
     return best, overflow
 

@@ -41,6 +41,10 @@ run big_full 7200 python scripts/bench_big.py --dir /tmp/lrm_big500 \
 # 3. Pallas band-DP A/B (VERDICT r2 #1 acceptance shape)
 run dirs_ab 3600 python scripts/bench_dirs_ab.py --b 2048 --l 1024 --w 127
 
+# 3b. gather row-width sweep: is sa_ctx gather cost per-row or
+# per-element?  (decides the adjacent-slot fusion for seed_vote)
+run gather 1200 python scripts/bench_gather.py
+
 # 4. per-stage device phase breakdown (seed_vote ms, e2e vs device)
 run profile 3600 env B=2048 RL=1000 python scripts/profile_map.py
 
@@ -52,6 +56,11 @@ run bench_b4096 3600 env CHUNK_B=4096 PASSES=3 python bench.py
 
 # 7. Pallas dirs kernel in the full step (only meaningful if #3 wins)
 run bench_pallas 3600 env LRM_PALLAS_DIRS=1 PASSES=3 python bench.py
+
+# 7b. packed slot layout: fewer, wider sa_ctx gather rows (decides with
+# the #3b row-width sweep whether TPU gather cost is per-row)
+run bench_pack2 3600 env LRM_SLOT_PACK=2 PASSES=3 python bench.py
+run bench_pack4 3600 env LRM_SLOT_PACK=4 PASSES=3 python bench.py
 
 # 8. genome-scale slim-layout variant
 run big_slim 7200 python scripts/bench_big.py --dir /tmp/lrm_big500 \

@@ -236,12 +236,17 @@ def test_slots_by_sort_matches_owns():
         wide_slot = (o32 * wide.astype(np.int32)[:, :, None]).sum(1) > 0
         j_slot = (o32 * (j_ps + 1)[:, :, None]).sum(1) - 1
 
-        pr, qs, ws, js, tot = _slots_by_sort(
+        pr, qs, ws, js, tot, ex = _slots_by_sort(
             cfg, jnp.asarray(cnt), jnp.asarray(k_seed), jnp.asarray(qw),
-            jnp.asarray(j_ps), jnp.asarray(wide))
+            jnp.asarray(j_ps), jnp.asarray(wide),
+            extras=(jnp.asarray(cnt),))
         valid = j_slot >= 0
         np.testing.assert_array_equal(np.asarray(js), j_slot)
         np.testing.assert_array_equal(np.asarray(tot), total)
         np.testing.assert_array_equal(np.asarray(ws), wide_slot)
         np.testing.assert_array_equal(np.asarray(pr)[valid], p_rank[valid])
         np.testing.assert_array_equal(np.asarray(qs)[valid], qw_slot[valid])
+        # extras forward like qw: the owning seed's value on valid slots
+        cnt_slot = (o32 * cnt[:, :, None]).sum(1)
+        np.testing.assert_array_equal(np.asarray(ex[0])[valid],
+                                      cnt_slot[valid])

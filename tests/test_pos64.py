@@ -82,3 +82,13 @@ def test_pos64_sam_matches_int32(artifacts):
     assert r.returncode == 0, r.stderr[-3000:]
     assert "POS64_OK" in r.stderr
     assert r.stdout == want
+
+    # packed slot layout on the split-hi path: sa_hi rides the same
+    # pk-adjacent unit gather; SAM must stay byte-identical
+    env2 = dict(env, LRM_SLOT_PACK="2")
+    r2 = subprocess.run(
+        [sys.executable, worker, artifacts["fa"], artifacts["fq"],
+         "64", "20", "300"],
+        capture_output=True, text=True, timeout=600, env=env2)
+    assert r2.returncode == 0, r2.stderr[-3000:]
+    assert r2.stdout == want
