@@ -178,7 +178,11 @@ class MapperConfig:
         # dispatches; the retry keeps results bit-identical either way.
         mult = float(os.environ.get("LRM_VOTE_SIGMA", "5.0"))
         want = int(mean + mult * sigma) + 16
-        return min(self.vote_slots_exact, max(64, -(-want // 64) * 64))
+        # 16-granular (not 64): at the 4 Mb bench config a 64-rounding
+        # made sigma 3 and 5 land on the same 128 slots, turning the
+        # LRM_VOTE_SIGMA A/B into a no-op (sim: phase max 97 over 4e5
+        # draws; sigma 3 -> 112 rows, a real 12.5% gather cut)
+        return min(self.vote_slots_exact, max(64, -(-want // 16) * 16))
 
     # packed slot layout (LRM_SLOT_PACK=2|4): one gathered row covers
     # `slot_pack` ADJACENT sa_ctx rows.  A seed's votes are a CONTIGUOUS
@@ -210,7 +214,11 @@ class MapperConfig:
         var = self.max_seeds * (lam / (p * p) + 0.25)
         mult = float(os.environ.get("LRM_VOTE_SIGMA", "5.0"))
         want = int(mean + mult * var ** 0.5) + 8
-        cap = -(-self.vote_slots_exact // p)
+        # unit capacity matching the exact vote budget must include the
+        # per-seed edge waste (each seed can strand up to p-1 positions
+        # in its first/last unit): ceil(exact/p) alone under-budgets
+        # (sim at the 4 Mb bench: pack-4 phase max 68 > 256/4 = 64)
+        cap = -(-(self.vote_slots_exact + self.max_seeds * (p - 1)) // p)
         return min(cap, max(32, -(-want // 8) * 8))
 
 
