@@ -180,8 +180,8 @@ class MapperConfig:
         want = int(mean + mult * sigma) + 16
         # 16-granular (not 64): at the 4 Mb bench config a 64-rounding
         # made sigma 3 and 5 land on the same 128 slots, turning the
-        # LRM_VOTE_SIGMA A/B into a no-op (sim: phase max 97 over 4e5
-        # draws; sigma 3 -> 112 rows, a real 12.5% gather cut)
+        # LRM_VOTE_SIGMA A/B into a no-op (sim at max_seeds=48: phase max
+        # 94 over 4e5 draws; the default lands on 112, a 12.5% gather cut)
         return min(self.vote_slots_exact, max(64, -(-want // 16) * 16))
 
     # packed slot layout (LRM_SLOT_PACK=2|4): one gathered row covers
@@ -215,10 +215,12 @@ class MapperConfig:
         mult = float(os.environ.get("LRM_VOTE_SIGMA", "5.0"))
         want = int(mean + mult * var ** 0.5) + 8
         # unit capacity matching the exact vote budget must include the
-        # per-seed edge waste (each seed can strand up to p-1 positions
-        # in its first/last unit): ceil(exact/p) alone under-budgets
-        # (sim at the 4 Mb bench: pack-4 phase max 68 > 256/4 = 64)
-        cap = -(-(self.vote_slots_exact + self.max_seeds * (p - 1)) // p)
+        # per-seed edge waste — a seed strands up to p-1 positions at its
+        # FIRST unit (k%p) and up to p-1 more at its last (ceil rounding),
+        # so units/seed <= (cnt + 2(p-1))/p: ceil(exact/p) alone
+        # under-budgets (sim at the 4 Mb bench: pack-4 phase max > exact/4)
+        cap = -(-(self.vote_slots_exact
+                  + self.max_seeds * 2 * (p - 1)) // p)
         return min(cap, max(32, -(-want // 8) * 8))
 
 

@@ -49,9 +49,9 @@ run gather 1200 python scripts/bench_gather.py
 run profile 3600 env B=2048 RL=1000 python scripts/profile_map.py
 
 # 5. vote-slot budget A/B: fewer gathered sa_ctx rows vs retry-tier cost
-# (default sigma 5 = 112 slots at the bench config; 1.0 -> 96, right at
-# the simulated phase max 97, so the retry tier fires occasionally —
-# measures the tightest-budget tradeoff)
+# (default sigma 5 = 112 slots at the bench config; 1.0 -> 96, just above
+# the simulated phase max 94, so retries stay rare — measures the
+# tightest-budget tradeoff)
 run bench_s1 3600 env LRM_VOTE_SIGMA=1.0 PASSES=3 python bench.py
 
 # 6. dispatch-latency amortization: one bigger chunk bucket
