@@ -92,3 +92,44 @@ def test_pos64_sam_matches_int32(artifacts):
         capture_output=True, text=True, timeout=600, env=env2)
     assert r2.returncode == 0, r2.stderr[-3000:]
     assert r2.stdout == want
+
+
+def test_pos64_long_read_gact_matches_int32(artifacts, tmp_path):
+    """pos64 + the tiled gact long-read path (uncovered anywhere else:
+    the dryrun's gact leg is pos32 and its pos64 leg is short reads).
+    A >2 kb bucket routes through ops/gact with int64 positions; SAM must
+    match the int32 pipeline byte for byte."""
+    from longreadmapper_tpu.runtime.accaln import run_mapping
+
+    genome = "".join(l.strip() for l in open(artifacts["fa"])
+                     if not l.startswith(">"))
+    rng = np.random.default_rng(99)
+    reads = []
+    for i in range(4):
+        p = int(rng.integers(0, 11000 - 2600))  # inside contig c1
+        s = list(genome[p:p + 2600])
+        for _ in range(50):
+            j = int(rng.integers(0, 2600))
+            s[j] = "ACGT"[int(rng.integers(0, 4))]
+        reads.append((f"lr{i}", "".join(s), None))
+    fq = str(tmp_path / "long.fq")
+    write_fastq(fq, reads)
+
+    buf = io.StringIO()
+    run_mapping(artifacts["fa"], fq, artifacts["params"], buf,
+                rg_id=0, chunk_b=4, verbose=False)
+    want = buf.getvalue()
+    n_valid = sum(1 for l in want.splitlines()
+                  if l and not l.startswith("@")
+                  and l.split("\t")[2] != "*")
+    assert n_valid == 4, want[-500:]
+
+    worker = os.path.join(os.path.dirname(__file__), "_pos64_worker.py")
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    r = subprocess.run(
+        [sys.executable, worker, artifacts["fa"], fq, "4", "20", "300"],
+        capture_output=True, text=True, timeout=600, env=env)
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert "POS64_OK" in r.stderr
+    assert r.stdout == want
