@@ -133,3 +133,12 @@ def test_pos64_long_read_gact_matches_int32(artifacts, tmp_path):
     assert r.returncode == 0, r.stderr[-3000:]
     assert "POS64_OK" in r.stderr
     assert r.stdout == want
+
+    # triple combo: pos64 + gact bucket + packed slots (the sort-path
+    # assignment forwards extras as int64 operands here)
+    r2 = subprocess.run(
+        [sys.executable, worker, artifacts["fa"], fq, "4", "20", "300"],
+        capture_output=True, text=True, timeout=600,
+        env=dict(env, LRM_SLOT_PACK="2"))
+    assert r2.returncode == 0, r2.stderr[-3000:]
+    assert r2.stdout == want
