@@ -72,6 +72,10 @@ def main(argv=None) -> int:
     md.add_argument("--shard-index", action="store_true",
                     help="row-shard the big index tables over a 'model' "
                          "mesh axis instead of replicating")
+    md.add_argument("--slim-index", action="store_true",
+                    help="reduced-HBM index layout (SA-only sa_ctx + "
+                         "text-pair verify windows); composes with "
+                         "--shard-index for the biggest sharded genomes")
     md.add_argument("--model-shards", type=int, default=0,
                     help="'model' axis size with --shard-index "
                          "(default: all devices)")
@@ -139,6 +143,7 @@ def main(argv=None) -> int:
                         chunk_b=args.chunk_b,
                         shard_index_tables=args.shard_index,
                         model_shards=args.model_shards,
+                        slim=args.slim_index,
                         verbose=not args.quiet)
         return 0
 

@@ -68,7 +68,7 @@ def run_distributed(genome_path: str, reads_path: str,
                     params: Optional[Params] = None,
                     out_prefix: Optional[str] = None, rg_id: int = 0,
                     chunk_b: int = 0, shard_index_tables: bool = False,
-                    model_shards: int = 0,
+                    model_shards: int = 0, slim: bool = False,
                     verbose: bool = True) -> tuple[int, int]:
     """Map `reads_path` with one logical mapper over every chip of the
     slice.  Returns the GLOBAL (valid, total) — identical on every
@@ -95,7 +95,10 @@ def run_distributed(genome_path: str, reads_path: str,
     t0 = log.vlog("process %d/%d: %d devices, mesh data=%d model=%d%s",
                   pid, nproc, ndev, ndev // n_model, n_model,
                   " (index tables sharded)" if shard_index_tables else "")
-    idx, meta, mta = load_device_index(genome_path,
+    # slim composes with table sharding: SA-only sa_ctx + text_pair verify
+    # windows shrink each model shard's HBM slice further (the reference's
+    # sampled-CSA trade, fmidx.c:153-163, expressed as a layout option)
+    idx, meta, mta = load_device_index(genome_path, slim=slim,
                                        verbose=verbose and pid == 0)
     log.vlog("index loaded in %.2fs (n=%d)", log.elapse(t0), meta.n)
 

@@ -190,3 +190,20 @@ def test_mapdist_two_processes_sharded_tables(artifacts, tmp_path):
     for c in range(0, len(rec0), half):
         merged += "".join(rec0[c:c + half]) + "".join(rec1[c:c + half])
     assert merged == want_sam
+
+
+def test_mapdist_sharded_slim_index(artifacts, tmp_path):
+    """--shard-index + --slim-index: the reduced-HBM layout (SA-only
+    sa_ctx, text_pair verify windows) row-sharded over the 'model' axis —
+    the configuration for the biggest sharded genomes.  Output must stay
+    byte-identical to the flat single-chip run."""
+    from longreadmapper_tpu.runtime.launch import run_distributed
+
+    want_sam, want_v, want_t = _single_process_sam(artifacts)
+    prefix = str(tmp_path / "slimshard.sam")
+    v, t = run_distributed(artifacts["fa"], artifacts["fq"],
+                           artifacts["params"], out_prefix=prefix, rg_id=0,
+                           chunk_b=16, shard_index_tables=True,
+                           model_shards=2, slim=True, verbose=False)
+    assert (v, t) == (want_v, want_t)
+    assert open(prefix + ".part0").read() == want_sam
