@@ -90,6 +90,10 @@ def main(argv=None) -> int:
     wa.add_argument("--lengths", default="256,1024",
                     help="comma-separated read lengths (default 256,1024)")
     wa.add_argument("--chunk-b", type=int, default=2048)
+    wa.add_argument("--slim-index", action="store_true",
+                    help="warm the reduced-HBM layout's steps (must match "
+                         "the --slim-index you will map with — the slim "
+                         "step is a different compiled program)")
     wa.add_argument("--quiet", action="store_true")
 
     args = ap.parse_args(argv)
@@ -107,6 +111,7 @@ def main(argv=None) -> int:
         from .utils.log import new_logger
         log = new_logger(verbose=not args.quiet)
         idx, meta, mta = load_device_index(args.fasta,
+                                           slim=args.slim_index,
                                            verbose=not args.quiet)
         mapper = TPUMapper(idx, meta, mta, read_params(),
                            chunk_b=args.chunk_b)
