@@ -53,7 +53,7 @@ def sample_reads(rng, genome: str, n_reads: int, read_len: int,
 
     Returns list of (name, seq, true_pos, strand).
     """
-    comp = {"A": "T", "C": "G", "G": "C", "T": "A"}
+    comp = {"A": "T", "C": "G", "G": "C", "T": "A", "N": "N"}
     alpha = "ACGT"
     out = []
     for i in range(n_reads):
