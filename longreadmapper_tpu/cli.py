@@ -34,6 +34,11 @@ def main(argv=None) -> int:
     ia.add_argument("--n-seed", type=int, default=0)
     ia.add_argument("--host-only", action="store_true",
                     help="build lchash on host instead of the accelerator")
+    ia.add_argument("--ram-gb", type=float, default=0,
+                    help="bound the SA construction working set (GB): "
+                         "texts whose in-RAM SA-IS footprint exceeds it "
+                         "build via the blocked external-memory path "
+                         "(byte-identical .sa5). 0 = in-RAM (default)")
     ia.add_argument("--no-devidx", action="store_true",
                     help="skip persisting the device-layout cache "
                          "(<ref>.cat.devidx/); the first map will then "
@@ -102,7 +107,8 @@ def main(argv=None) -> int:
         from .runtime.accidx import build_index
         p = Params(hlen=args.hlen, o_ratio=args.o_ratio, n_seed=args.n_seed)
         build_index(args.fasta, p, use_device=not args.host_only,
-                    verbose=not args.quiet, devidx=not args.no_devidx)
+                    verbose=not args.quiet, devidx=not args.no_devidx,
+                    ram_use=int(args.ram_gb * (1 << 30)))
         return 0
 
     if args.cmd == "warmup":

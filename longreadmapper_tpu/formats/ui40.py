@@ -30,6 +30,32 @@ def write_sa5(sa: np.ndarray, path: str, chunk: int = 1 << 27) -> None:
             buf.tofile(f)
 
 
+class Sa5Writer:
+    """Incremental .sa5 writer: append int batches in order (the external
+    SA build emits the suffix array as a merge stream, never whole)."""
+
+    def __init__(self, path: str):
+        self._f = open(path, "wb")
+
+    def append(self, batch: np.ndarray) -> None:
+        part = np.ascontiguousarray(batch, dtype=np.uint64)
+        m = part.shape[0]
+        buf = np.empty((m, 5), dtype=np.uint8)
+        low = (part & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+        buf[:, 0:4] = low.view(np.uint8).reshape(m, 4)  # LE platform
+        buf[:, 4] = (part >> np.uint64(32)).astype(np.uint8)
+        buf.tofile(self._f)
+
+    def close(self) -> None:
+        self._f.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
 def read_sa5(path: str, count: int = -1) -> np.ndarray:
     """Read .sa5 into an int64 array (ui40_fread + ui40_convert equivalent)."""
     raw = np.fromfile(path, dtype=np.uint8, count=-1 if count < 0 else count * 5)

@@ -16,9 +16,19 @@ from ..formats.ui40 import write_sa5, read_sa5
 def sa_build(prefix: str, ram_use: int = 0) -> np.ndarray:
     """Build and persist `<prefix>.sa5`; returns the SA as int64.
 
-    `ram_use` is accepted for signature parity with the reference but unused:
-    SA-IS here is in-RAM (external-memory blocks are future work, SURVEY.md §7).
-    """
+    `ram_use` (bytes, the reference's `sa_build` ram parameter,
+    psascan/sa_use.cc:8-17) bounds the CONSTRUCTION working set: when the
+    in-RAM SA-IS footprint (~12 B/char) would exceed it, the blocked
+    external-memory builder runs instead (index/sa_external.py,
+    docs/EXTERNAL_SA.md) — byte-identical .sa5 either way.  0 = in-RAM."""
+    import os
+
+    n = os.path.getsize(prefix)
+    if ram_use > 0 and n * 12 > ram_use:
+        from .sa_external import sa_build_external
+
+        sa_build_external(prefix, ram_use)
+        return read_sa5(prefix + ".sa5")
     text = np.fromfile(prefix, dtype=np.uint8)
     sa = native.suffix_array(text)
     write_sa5(sa, prefix + ".sa5")

@@ -1,0 +1,242 @@
+"""External-memory (blocked) suffix-array construction.
+
+The pSAscan-class capability the in-RAM SA-IS lacks
+(/root/reference/psascan/src/psascan_src/psascan.h:52-57): build
+`<prefix>.sa5` with a bounded-RAM working set for texts whose ~11.5 B/char
+in-RAM footprint exceeds the host.  Design doc: docs/EXTERNAL_SA.md.
+
+Algorithm (extended-margin blocks + exact repair + streamed merge):
+
+1. Split the mmap'd text into blocks of ~ram/12 bytes.  Each block is
+   suffix-sorted by the native SA-IS over the block EXTENDED by `margin`
+   bytes (implicit-sentinel convention).  For kept (in-block) suffixes
+   the result is exact except where two suffixes share their entire
+   common extension — those pairs necessarily share the first `margin`
+   bytes, so grouping maximal runs of margin-prefix-equal entries and
+   re-sorting each group with an exact whole-text comparator repairs the
+   order (the grouping is transitive, hence a superset of the true tie
+   relation).  The last block extends to the real terminator: exact as-is.
+2. Partial SAs spill to disk.  A K-way merge streams them back ordered
+   by a 24-byte prefix key (3 big-endian u64 words, non-decreasing along
+   each partial SA); runs of EQUAL keys are re-sorted with the exact
+   comparator.  Entries are only emitted below the smallest
+   last-loaded key of any block with unloaded entries, so unloaded data
+   can never interleave below an emitted entry.
+3. The merged stream is written directly in the 40-bit .sa5 codec.
+
+Peak RAM = one block's SA-IS working set (~11.5 B/char of block) + O(K)
+merge buffers; the text is memory-mapped (page cache, evictable).
+Pathological inputs (a single 24-byte context shared by more suffixes
+than a merge chunk) degrade to comparator-ordered emission, still exact.
+
+Byte-identical to the in-RAM build (tests/test_sa_external.py, including
+tandem-satellite texts that force both repair paths).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+import tempfile
+
+import numpy as np
+
+from .. import native
+from ..formats.ui40 import Sa5Writer
+
+_KEYB = 24          # merge prefix-key bytes (3 u64 words)
+_CHUNK = 1 << 15    # merge load granularity (entries)
+
+
+def _suffix_less(X, a: int, b: int, step: int = 4096) -> bool:
+    """Exact whole-text suffix comparison (ground truth).  The text ends
+    with a unique terminator, so distinct suffixes always differ before
+    both slices run out; python bytes order == implicit-sentinel order
+    (a proper prefix sorts smaller)."""
+    assert a != b
+    n = X.shape[0]
+    while a < n and b < n:
+        ca = X[a:a + step].tobytes()
+        cb = X[b:b + step].tobytes()
+        if ca != cb:
+            return ca < cb
+        a += step
+        b += step
+    return a >= n  # the exhausted suffix is the smaller one
+
+
+def _repair_groups(X, pos: np.ndarray, starts_of_groups) -> np.ndarray:
+    key = functools.cmp_to_key(
+        lambda a, b: -1 if _suffix_less(X, a, b) else 1)
+    out = pos.copy()
+    for s, e in starts_of_groups:
+        out[s:e] = sorted(pos[s:e].tolist(), key=key)
+    return out
+
+
+def _equal_runs(eq_adjacent: np.ndarray):
+    """[(start, end)] of maximal runs where eq_adjacent[i] marks
+    element i equal to element i+1."""
+    runs = []
+    i = 0
+    m = eq_adjacent.shape[0]
+    while i < m:
+        if eq_adjacent[i]:
+            j = i
+            while j < m and eq_adjacent[j]:
+                j += 1
+            runs.append((i, j + 1))
+            i = j
+        else:
+            i += 1
+    return runs
+
+
+def _block_sa(X, b: int, e: int, margin: int) -> np.ndarray:
+    """Exact suffix order (absolute positions) of text suffixes starting
+    in [b, e)."""
+    n = X.shape[0]
+    ext_end = min(e + margin, n)
+    ext = np.asarray(X[b:ext_end])
+    sa = native.suffix_array(ext)
+    sa = sa[sa < (e - b)]
+    if ext_end == n:
+        return sa + b  # extension reaches the real terminator: exact
+
+    # Suspect pairs share their first `margin` bytes (every kept suffix
+    # has >= margin bytes of extension).  Stage 1: vectorized 16-byte
+    # prefix equality of adjacent entries; stage 2: escalate to full
+    # margin equality; then repair margin-equal runs exactly.
+    k16 = ext[sa[:, None] + np.arange(16)]
+    eq16 = np.all(k16[:-1] == k16[1:], axis=1)
+    eqm = np.zeros_like(eq16)
+    for i in np.nonzero(eq16)[0]:
+        p, q = int(sa[i]), int(sa[i + 1])
+        eqm[i] = ext[p:p + margin].tobytes() == ext[q:q + margin].tobytes()
+    if not eqm.any():
+        return sa + b
+    return _repair_groups(X, sa + b, [(s, t) for s, t in _equal_runs(eqm)])
+
+
+def _keys(X, pos: np.ndarray):
+    """(w0, w1, w2) big-endian u64 prefix-key words for absolute
+    positions; positions within _KEYB of the end pad with 0 (only ever
+    after the unique terminator, so never decisive)."""
+    n = X.shape[0]
+    idx = pos[:, None] + np.arange(_KEYB)
+    raw = np.where(idx < n, np.asarray(X)[np.minimum(idx, n - 1)], 0
+                   ).astype(np.uint64)
+    words = []
+    for w in range(3):
+        acc = np.zeros(pos.shape[0], dtype=np.uint64)
+        for j in range(8):
+            acc = (acc << np.uint64(8)) | raw[:, 8 * w + j]
+        words.append(acc)
+    return words
+
+
+class _Run:
+    """One partial SA on disk + its loaded head."""
+
+    def __init__(self, path: str, count: int):
+        self.path = path
+        self.count = count
+        self.off = 0          # next unloaded entry
+        self.pos = np.empty(0, dtype=np.int64)
+        self.keys = [np.empty(0, dtype=np.uint64) for _ in range(3)]
+
+    def load(self, X, want: int) -> None:
+        take = min(want, self.count - self.off)
+        if take <= 0:
+            return
+        new = np.fromfile(self.path, dtype=np.int64, count=take,
+                          offset=8 * self.off)
+        self.off += take
+        kw = _keys(X, new)
+        self.pos = np.concatenate([self.pos, new])
+        self.keys = [np.concatenate([a, b]) for a, b in zip(self.keys, kw)]
+
+    def exhausted(self) -> bool:
+        return self.off >= self.count
+
+    def drop(self, k: int) -> None:
+        self.pos = self.pos[k:]
+        self.keys = [w[k:] for w in self.keys]
+
+
+def _emit_sorted(X, pos, w0, w1, w2) -> np.ndarray:
+    order = np.lexsort((w2, w1, w0))
+    pos, w0, w1, w2 = pos[order], w0[order], w1[order], w2[order]
+    eq = (w0[:-1] == w0[1:]) & (w1[:-1] == w1[1:]) & (w2[:-1] == w2[1:])
+    if eq.any():
+        pos = _repair_groups(X, pos, _equal_runs(eq))
+    return pos
+
+
+def sa_build_external(prefix: str, ram_bytes: int, margin: int = 4096,
+                      tmpdir: str | None = None) -> None:
+    """Build `<prefix>.sa5` with a ~ram_bytes-bounded working set.
+    Output byte-identical to `sa_build` (the in-RAM path)."""
+    assert margin >= 32
+    X = np.memmap(prefix, dtype=np.uint8, mode="r")
+    n = int(X.shape[0])
+    block = max(4 * margin, int(ram_bytes // 12))
+    td = tempfile.mkdtemp(prefix="lrm_sa_ext_", dir=tmpdir)
+    runs = []
+    try:
+        for b in range(0, n, block):
+            e = min(b + block, n)
+            part = _block_sa(X, b, e, margin)
+            path = os.path.join(td, f"part{b}.i64")
+            part.tofile(path)
+            runs.append(_Run(path, part.shape[0]))
+            del part
+
+        hi64 = np.uint64(0xFFFFFFFFFFFFFFFF)
+        with Sa5Writer(prefix + ".sa5") as out:
+            while runs:
+                want = _CHUNK
+                while True:
+                    for r in runs:
+                        if r.pos.shape[0] < want // 2:
+                            r.load(X, want)
+                    # highest safely-emittable key: below the smallest
+                    # last-loaded key of any run that still has unloaded
+                    # entries (their unloaded keys are >= that key)
+                    bound = hi64, hi64, hi64
+                    for r in runs:
+                        if not r.exhausted() and r.pos.shape[0]:
+                            lk = (r.keys[0][-1], r.keys[1][-1],
+                                  r.keys[2][-1])
+                            bound = min(bound, lk)
+                    cut = []
+                    for r in runs:
+                        if r.pos.shape[0] == 0:
+                            cut.append(0)
+                            continue
+                        below = ((r.keys[0] < bound[0]) |
+                                 ((r.keys[0] == bound[0]) &
+                                  ((r.keys[1] < bound[1]) |
+                                   ((r.keys[1] == bound[1]) &
+                                    (r.keys[2] < bound[2])))))
+                        cut.append(int(np.searchsorted(
+                            ~below, True)) if below.shape[0] else 0)
+                    if any(cut) or bound == (hi64, hi64, hi64):
+                        break
+                    want *= 2  # equal-key flood: widen the heads
+                if bound == (hi64, hi64, hi64):
+                    cut = [r.pos.shape[0] for r in runs]  # final flush
+                pos = np.concatenate([r.pos[:c] for r, c in zip(runs, cut)])
+                ws = [np.concatenate([r.keys[w][:c]
+                                      for r, c in zip(runs, cut)])
+                      for w in range(3)]
+                if pos.shape[0]:
+                    out.append(_emit_sorted(X, pos, *ws))
+                for r, c in zip(runs, cut):
+                    r.drop(c)
+                runs = [r for r in runs
+                        if r.pos.shape[0] or not r.exhausted()]
+    finally:
+        for f in os.listdir(td):
+            os.unlink(os.path.join(td, f))
+        os.rmdir(td)

@@ -31,7 +31,10 @@ def _accelerator_present() -> bool:
 
 def build_index(fasta_path: str, params: Params | None = None,
                 use_device: bool = True, verbose: bool = True,
-                devidx: bool = True) -> None:
+                devidx: bool = True, ram_use: int = 0) -> None:
+    """`ram_use` (bytes) bounds the SA-construction working set — the
+    reference's `fmi_build` ram parameter (asindex.c:138, 8 GiB there);
+    0 = unbounded in-RAM SA-IS."""
     p = params or Params()
     log = new_logger(verbose=verbose)
 
@@ -41,7 +44,7 @@ def build_index(fasta_path: str, params: Params | None = None,
     log.vlog("create_meta done in %.2fs (%d sequences)", log.elapse(t0), len(mta))
 
     t0 = log.vlog("sa_build: suffix array -> %s.sa5", prefix)
-    sa = sa_build(prefix)
+    sa = sa_build(prefix, ram_use=ram_use)
     log.vlog("sa_build done in %.2fs (n=%d)", log.elapse(t0), sa.shape[0])
 
     t0 = log.vlog("fmi_build: C/BWT/O/CSA tables (o_ratio=%d)", p.o_ratio)

@@ -1,0 +1,76 @@
+"""External-memory SA construction must be byte-identical to the in-RAM
+SA-IS on every text — including tandem/satellite texts where block
+extensions tie (the margin-prefix repair path) and merge keys collide
+(the comparator-run path)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from longreadmapper_tpu import native
+from longreadmapper_tpu.formats.ui40 import read_sa5
+from longreadmapper_tpu.index.sa_external import sa_build_external
+
+
+def _check(tmp_path, text: bytes, ram: int, margin: int):
+    p = str(tmp_path / "t.cat")
+    with open(p, "wb") as f:
+        f.write(text)
+    sa_build_external(p, ram, margin=margin)
+    got = read_sa5(p + ".sa5")
+    want = native.suffix_array(np.frombuffer(text, dtype=np.uint8))
+    np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("n,ram,margin", [
+    (5_000, 6_000, 32),       # ~10 blocks
+    (60_000, 30_000, 64),     # ~24 blocks
+    (999, 10 ** 9, 32),       # single block (degenerate)
+])
+def test_random_text(tmp_path, n, ram, margin):
+    rng = np.random.default_rng(n)
+    text = rng.choice(list(b"ACGT"), n).astype(np.uint8).tobytes() + b"$"
+    _check(tmp_path, text, ram, margin)
+
+
+def test_satellite_tandem(tmp_path):
+    """Period-7 tandem array: every block extension ties (margin-equal
+    runs span whole blocks) and 24-byte merge keys collide massively."""
+    unit = b"ACGTGCA"
+    text = unit * 3000 + b"$"            # 21 kb, lcps in the thousands
+    _check(tmp_path, text, 12_000, 32)
+
+
+def test_mixed_repeats(tmp_path):
+    rng = np.random.default_rng(3)
+    parts = []
+    motif = rng.choice(list(b"ACGT"), 60).astype(np.uint8).tobytes()
+    for _ in range(200):
+        if rng.random() < 0.5:
+            parts.append(motif)
+        else:
+            parts.append(rng.choice(list(b"ACGT"), 100
+                                    ).astype(np.uint8).tobytes())
+    text = b"".join(parts) + b"$"
+    _check(tmp_path, text, 9_000, 48)
+
+
+def test_cat_roundtrip_matches_in_ram_build(tmp_path):
+    """Real artifact flow: sa_build(ram_use=...) routes through the
+    external builder and produces a byte-identical .sa5."""
+    from longreadmapper_tpu.formats.catmeta import create_meta
+    from longreadmapper_tpu.index.sa import sa_build
+
+    from conftest import make_genome, write_fasta
+
+    rng = np.random.default_rng(5)
+    fa = str(tmp_path / "g.fa")
+    write_fasta(fa, [("c1", make_genome(rng, 15000))])
+    create_meta(fa, n_seed=0)
+    prefix = fa + ".cat"
+
+    sa_ram = sa_build(prefix)
+    ram_bytes = os.path.getsize(prefix) * 12 // 8  # force ~8 blocks
+    sa_ext = sa_build(prefix, ram_use=ram_bytes)
+    np.testing.assert_array_equal(sa_ext, sa_ram)
