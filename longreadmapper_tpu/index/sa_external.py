@@ -105,9 +105,11 @@ def _block_sa(X, b: int, e: int, margin: int) -> np.ndarray:
 
     # Suspect pairs share their first `margin` bytes (every kept suffix
     # has >= margin bytes of extension).  Stage 1: vectorized 16-byte
-    # prefix equality of adjacent entries; stage 2: escalate to full
-    # margin equality; then repair margin-equal runs exactly.
-    k16 = ext[sa[:, None] + np.arange(16)]
+    # prefix equality of adjacent entries (strided window rows — no
+    # (m, 16) index matrix); stage 2: escalate to full margin equality;
+    # then repair margin-equal runs exactly.
+    win = np.lib.stride_tricks.sliding_window_view(ext, 16)
+    k16 = win[sa]
     eq16 = np.all(k16[:-1] == k16[1:], axis=1)
     eqm = np.zeros_like(eq16)
     for i in np.nonzero(eq16)[0]:
@@ -123,15 +125,19 @@ def _keys(X, pos: np.ndarray):
     positions; positions within _KEYB of the end pad with 0 (only ever
     after the unique terminator, so never decisive)."""
     n = X.shape[0]
-    idx = pos[:, None] + np.arange(_KEYB)
-    raw = np.where(idx < n, np.asarray(X)[np.minimum(idx, n - 1)], 0
-                   ).astype(np.uint64)
+    m = pos.shape[0]
+    raw = np.zeros((m, _KEYB), dtype=np.uint8)
+    inside = pos <= n - _KEYB
+    if inside.any():
+        win = np.lib.stride_tricks.sliding_window_view(np.asarray(X), _KEYB)
+        raw[inside] = win[pos[inside]]
+    for i in np.nonzero(~inside)[0]:
+        p = int(pos[i])
+        raw[i, : n - p] = X[p:n]
     words = []
     for w in range(3):
-        acc = np.zeros(pos.shape[0], dtype=np.uint64)
-        for j in range(8):
-            acc = (acc << np.uint64(8)) | raw[:, 8 * w + j]
-        words.append(acc)
+        col = np.ascontiguousarray(raw[:, 8 * w: 8 * w + 8])
+        words.append(col.view(">u8").reshape(m).astype(np.uint64))
     return words
 
 
