@@ -74,3 +74,24 @@ def test_cat_roundtrip_matches_in_ram_build(tmp_path):
     ram_bytes = os.path.getsize(prefix) * 12 // 8  # force ~8 blocks
     sa_ext = sa_build(prefix, ram_use=ram_bytes)
     np.testing.assert_array_equal(sa_ext, sa_ram)
+
+
+@pytest.mark.skipif(os.environ.get("LRM_BIG_SA_EXT") != "1",
+                    reason="set LRM_BIG_SA_EXT=1 (2.5e9 chars, ~1-2 h)")
+def test_big_external_build(tmp_path):
+    """Genome-scale external build at a 16 GB budget (a quarter of this
+    host's RAM; the in-RAM build needs ~29 GB at this n) — runs via the
+    dev script in a subprocess so the working set is released."""
+    import subprocess
+    import sys
+
+    env = {k: v for k, v in os.environ.items()
+           if k != "PALLAS_AXON_POOL_IPS"}
+    env["JAX_PLATFORMS"] = "cpu"
+    r = subprocess.run(
+        [sys.executable, "/root/repo/scripts/sa_external_check.py",
+         "--mb", "2500", "--ram-mb", "16384"],
+        capture_output=True, text=True, timeout=4 * 3600, env=env)
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert "EXACT" in r.stdout, r.stdout[-2000:]
+    print(r.stdout.strip())
