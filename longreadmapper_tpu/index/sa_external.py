@@ -199,6 +199,10 @@ def sa_build_external(prefix: str, ram_bytes: int, margin: int = 4096,
             del part
 
         hi64 = np.uint64(0xFFFFFFFFFFFFFFFF)
+        # merge load granularity: fixed 32k MEASURED best — a budget-
+        # scaled 1M chunk was 988 s vs 747 s at 500 Mchar/1 GB (bigger
+        # lexsort batches + buffer drop copies outgrow the saved python
+        # round overhead); don't re-raise without re-measuring
         with Sa5Writer(prefix + ".sa5") as out:
             while runs:
                 want = _CHUNK
