@@ -16,12 +16,17 @@ Algorithm (extended-margin blocks + exact repair + streamed merge):
    re-sorting each group with an exact whole-text comparator repairs the
    order (the grouping is transitive, hence a superset of the true tie
    relation).  The last block extends to the real terminator: exact as-is.
-2. Partial SAs spill to disk.  A K-way merge streams them back ordered
-   by a 24-byte prefix key (3 big-endian u64 words, non-decreasing along
-   each partial SA); runs of EQUAL keys are re-sorted with the exact
-   comparator.  Entries are only emitted below the smallest
-   last-loaded key of any block with unloaded entries, so unloaded data
-   can never interleave below an emitted entry.
+2. Partial SAs spill to disk and are K-way merged.  Default: the native
+   streamed merge (native/samerge.cpp) — cached 8-byte prefix keys with
+   exact memcmp tie-breaks against the mmap'd text; since the text's
+   final byte is unique, every comparison resolves in-text and the
+   output is exactly the global suffix order.  Fallback (LRM_SA_MERGE=py
+   or no toolchain): a numpy merge ordered by a 24-byte prefix key
+   (3 big-endian u64 words, non-decreasing along each partial SA); runs
+   of EQUAL keys are re-sorted with the exact comparator, and entries
+   are only emitted below the smallest last-loaded key of any block with
+   unloaded entries, so unloaded data can never interleave below an
+   emitted entry.
 3. The merged stream is written directly in the 40-bit .sa5 codec.
 
 Peak RAM = one block's SA-IS working set (~11.5 B/char of block) + O(K)
@@ -197,6 +202,20 @@ def sa_build_external(prefix: str, ram_bytes: int, margin: int = 4096,
             part.tofile(path)
             runs.append(_Run(path, part.shape[0]))
             del part
+
+        # Native streamed merge (samerge.cpp): exact suffix comparisons
+        # against the mmap'd text, no repair stage, .sa5 written directly.
+        # LRM_SA_MERGE=py forces the numpy path (parity tests / no-g++).
+        if os.environ.get("LRM_SA_MERGE", "native") != "py":
+            wrote = native.sa_merge_files(
+                prefix, n, [r.path for r in runs],
+                [r.count for r in runs], prefix + ".sa5")
+            if wrote == n:
+                return
+            if wrote >= 0:
+                raise RuntimeError(
+                    f"native SA merge wrote {wrote} of {n} entries")
+            # wrote < 0: library unavailable — numpy merge below
 
         hi64 = np.uint64(0xFFFFFFFFFFFFFFFF)
         # merge load granularity: fixed 32k MEASURED best — a budget-

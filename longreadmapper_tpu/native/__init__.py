@@ -19,7 +19,8 @@ import numpy as np
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _SO = os.path.join(_DIR, "_lrm_native.so")
 _SOURCES = [os.path.join(_DIR, f)
-            for f in ("sais.cpp", "align.cpp", "affine.cpp", "myers.cpp")]
+            for f in ("sais.cpp", "align.cpp", "affine.cpp", "myers.cpp",
+                      "samerge.cpp")]
 
 _lock = threading.Lock()
 _lib: Optional[ctypes.CDLL] = None
@@ -86,6 +87,13 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
             ctypes.c_int, ctypes.c_int64, ctypes.POINTER(ctypes.c_int64),
+        ]
+        lib.lrm_sa_merge.restype = ctypes.c_int64
+        lib.lrm_sa_merge.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_char_p),
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int32,
+            ctypes.c_char_p,
         ]
         _lib = lib
         HAVE_NATIVE = True
@@ -487,3 +495,20 @@ def myers_align(q: np.ndarray, t: np.ndarray, mode: str = "HW",
     if extended:
         ops = ops_extended(q, t, start, ops)
     return ed, start, end, ops
+
+
+def sa_merge_files(text_path: str, n: int, part_paths: List[str],
+                   counts: List[int], out_path: str) -> int:
+    """Native K-way exact merge of partial-SA files into `<out_path>`
+    (.sa5 codec) — the streamed pSAscan merge stage
+    (/root/reference/psascan/src/psascan_src/merge.h:57+).  Returns the
+    entry count written, or -1 when the native library is unavailable or
+    the merge failed (callers fall back to the numpy merge)."""
+    lib = _load()
+    if lib is None:
+        return -1
+    k = len(part_paths)
+    arr = (ctypes.c_char_p * k)(*[p.encode() for p in part_paths])
+    cnt = (ctypes.c_int64 * k)(*[int(c) for c in counts])
+    return int(lib.lrm_sa_merge(text_path.encode(), n, arr, cnt, k,
+                                out_path.encode()))

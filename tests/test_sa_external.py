@@ -56,6 +56,33 @@ def test_mixed_repeats(tmp_path):
     _check(tmp_path, text, 9_000, 48)
 
 
+def test_native_merge_matches_numpy_merge(tmp_path, monkeypatch):
+    """The native streamed merge (samerge.cpp) and the numpy prefix-key
+    merge must emit byte-identical .sa5 — including on a tandem text
+    whose 24-byte merge keys collide across blocks."""
+    if native._load() is None:
+        pytest.skip("no native toolchain")
+    rng = np.random.default_rng(11)
+    unit = b"ACGTGCA"
+    texts = [
+        unit * 2000 + b"$",
+        rng.choice(list(b"ACGT"), 40_000).astype(np.uint8).tobytes() + b"$",
+    ]
+    for i, text in enumerate(texts):
+        p = str(tmp_path / f"m{i}.cat")
+        with open(p, "wb") as f:
+            f.write(text)
+        monkeypatch.setenv("LRM_SA_MERGE", "py")
+        sa_build_external(p, 12_000, margin=32)
+        with open(p + ".sa5", "rb") as f:
+            want = f.read()
+        monkeypatch.setenv("LRM_SA_MERGE", "native")
+        sa_build_external(p, 12_000, margin=32)
+        with open(p + ".sa5", "rb") as f:
+            got = f.read()
+        assert got == want
+
+
 def test_cat_roundtrip_matches_in_ram_build(tmp_path):
     """Real artifact flow: sa_build(ram_use=...) routes through the
     external builder and produces a byte-identical .sa5."""
