@@ -160,8 +160,10 @@ class _Run:
         take = min(want, self.count - self.off)
         if take <= 0:
             return
-        new = np.fromfile(self.path, dtype=np.int64, count=take,
-                          offset=8 * self.off)
+        raw = np.fromfile(self.path, dtype=np.uint8, count=5 * take,
+                          offset=5 * self.off).reshape(take, 5)
+        low = raw[:, 0:4].copy().view(np.uint32).reshape(take)
+        new = (raw[:, 4].astype(np.int64) << 32) | low.astype(np.int64)
         self.off += take
         kw = _keys(X, new)
         self.pos = np.concatenate([self.pos, new])
@@ -198,8 +200,9 @@ def sa_build_external(prefix: str, ram_bytes: int, margin: int = 4096,
         for b in range(0, n, block):
             e = min(b + block, n)
             part = _block_sa(X, b, e, margin)
-            path = os.path.join(td, f"part{b}.i64")
-            part.tofile(path)
+            path = os.path.join(td, f"part{b}.ui40")
+            with Sa5Writer(path) as pw:   # 5-byte spill: 5/8 the disk+IO
+                pw.append(part)
             runs.append(_Run(path, part.shape[0]))
             del part
 

@@ -4,7 +4,8 @@
 // readers).  Replaces sa_external.py's numpy merge rounds (prefix-key
 // lexsort + python repair) with a direct exact merge:
 //
-//   * Each partial SA is a disk file of int64 absolute positions in
+//   * Each partial SA is a disk file of 5-byte ui40 absolute positions
+//     (the .sa5 codec itself — 40 bits cover any 2^40-byte text) in
 //     suffix order; heads are refilled through fread buffers.
 //   * Per head a 8-byte big-endian prefix key of the suffix is cached;
 //     the winner scan compares keys and falls back to memcmp against the
@@ -38,8 +39,9 @@ constexpr int64_t kOutChunk = 1 << 20;    // entries per output flush (5 MB)
 struct Run {
     FILE *f = nullptr;
     int64_t remaining = 0;     // entries still on disk
-    std::vector<int64_t> buf;  // loaded entries
-    int64_t at = 0;            // next index into buf
+    std::vector<uint8_t> buf;  // loaded 5-byte ui40 entries
+    int64_t at = 0;            // next entry index into buf
+    int64_t loaded = 0;        // entries in buf
     int64_t head_pos = -1;     // current head position (text offset)
     uint64_t head_key = 0;     // big-endian 8-byte prefix of the suffix
 
@@ -60,24 +62,29 @@ inline uint64_t prefix_key(const uint8_t *text, int64_t n, int64_t pos) {
 }
 
 inline void advance(Run &r, const uint8_t *text, int64_t n) {
-    if (r.at >= static_cast<int64_t>(r.buf.size())) {
+    if (r.at >= r.loaded) {
         if (r.remaining <= 0) {
             r.head_pos = -1;
             return;
         }
         const int64_t take = r.remaining < kReadChunk ? r.remaining
                                                       : kReadChunk;
-        r.buf.resize(static_cast<size_t>(take));
-        const size_t got = fread(r.buf.data(), sizeof(int64_t),
+        r.buf.resize(static_cast<size_t>(take) * 5);
+        const size_t got = fread(r.buf.data(), 5,
                                  static_cast<size_t>(take), r.f);
         if (static_cast<int64_t>(got) != take) {
             r.head_pos = -2;  // read error; surfaced by the caller loop
             return;
         }
         r.remaining -= take;
+        r.loaded = take;
         r.at = 0;
     }
-    r.head_pos = r.buf[static_cast<size_t>(r.at++)];
+    const uint8_t *e = r.buf.data() + static_cast<size_t>(r.at++) * 5;
+    uint32_t low;
+    std::memcpy(&low, e, 4);  // little-endian low word + high byte
+    r.head_pos = static_cast<int64_t>(low) |
+                 (static_cast<int64_t>(e[4]) << 32);
     r.head_key = prefix_key(text, n, r.head_pos);
 }
 
