@@ -69,6 +69,10 @@ def main(argv=None) -> int:
     ap.add_argument("--samples", type=int, default=2000)
     ap.add_argument("--keep", action="store_true",
                     help="keep ref.fa/.cat/.sa5 (default: delete on success)")
+    ap.add_argument("--external-gb", type=float, default=0,
+                    help="build via the blocked external-memory path with "
+                         "this RAM budget (GB) instead of in-RAM SA-IS; "
+                         "validation then runs off the .sa5 on disk")
     args = ap.parse_args(argv)
 
     from gen_big_genome import write_contig
@@ -95,6 +99,9 @@ def main(argv=None) -> int:
     prefix = fa + ".cat"
     n = os.path.getsize(prefix)
     log(f"create_meta: {time.time() - t0:.0f}s (.cat = {n} bytes)")
+
+    if args.external_gb:
+        return _external(args, prefix, n)
 
     t0 = time.time()
     text = np.fromfile(prefix, dtype=np.uint8)
@@ -148,6 +155,65 @@ def main(argv=None) -> int:
                 os.remove(p)
         log("artifacts deleted (pass --keep to retain)")
     log("hg-scale SA build: PASS")
+    return 0
+
+
+def _external(args, prefix: str, n: int) -> int:
+    """Bounded-RAM build + disk-resident validation (the pSAscan-shaped
+    run: psascan.h:52-57 computes with a RAM budget far below 11.5 B/char).
+    RSS stays ~the block working set; validation reads the .sa5 from disk
+    (spot pairs by offset, permutation bitmap by streamed chunks)."""
+    from longreadmapper_tpu.index.sa_external import sa_build_external
+
+    ram = int(args.external_gb * (1 << 30))
+    sa5 = prefix + ".sa5"
+    t0 = time.time()
+    sa_build_external(prefix, ram, tmpdir=args.dir)
+    dt = time.time() - t0
+    log(f"external build: {dt:.0f}s for n={n} ({n / dt / 1e6:.2f} MB/s, "
+        f"budget {args.external_gb:.1f} GB, 1 core)")
+
+    assert os.path.getsize(sa5) == 5 * n
+    text = np.memmap(prefix, dtype=np.uint8, mode="r")
+
+    def entry(f, i: int) -> int:
+        f.seek(5 * i)
+        return int.from_bytes(f.read(5), "little")
+
+    t0 = time.time()
+    rng = np.random.default_rng(7)
+    bad = 0
+    with open(sa5, "rb") as f:
+        for i in np.sort(rng.integers(0, n - 1, args.samples)):
+            a, b = entry(f, int(i)), entry(f, int(i) + 1)
+            if not suffix_less(text, a, b):
+                bad += 1
+                log(f"ORDER VIOLATION at rank {i}: sa={a},{b}")
+    assert bad == 0, f"{bad} order violations"
+    log(f"order spot-parity: {args.samples} adjacent pairs OK "
+        f"({time.time() - t0:.0f}s)")
+
+    t0 = time.time()
+    seen = np.zeros(n, dtype=bool)
+    chunk = 1 << 27
+    with open(sa5, "rb") as f:
+        for s in range(0, n, chunk):
+            m = min(chunk, n - s)
+            raw = np.fromfile(f, dtype=np.uint8, count=5 * m).reshape(m, 5)
+            low = raw[:, 0:4].copy().view(np.uint32).reshape(m)
+            seen[(raw[:, 4].astype(np.int64) << 32)
+                 | low.astype(np.int64)] = True
+    assert bool(seen.all()), "SA is not a permutation"
+    del seen
+    log(f"permutation check: OK ({time.time() - t0:.0f}s)")
+
+    if not args.keep:
+        fa = os.path.join(args.dir, "ref.fa")
+        for p in (fa, prefix, sa5, fa + ".mta"):
+            if os.path.exists(p):
+                os.remove(p)
+        log("artifacts deleted (pass --keep to retain)")
+    log("hg-scale EXTERNAL SA build: PASS")
     return 0
 
 
