@@ -38,7 +38,36 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def _ensure_backend_reachable() -> str:
+    """A down axon tunnel hangs `import jax` indefinitely (the sitecustomize
+    dials the relay).  Probe in a timeboxed subprocess; on failure re-exec
+    onto the CPU backend with a reduced workload so the driver still gets
+    its JSON line (marked, not comparable to TPU rows)."""
+    if os.environ.get("_LRM_BENCH_CPU"):
+        return "cpu-fallback"
+    if not os.environ.get("PALLAS_AXON_POOL_IPS"):
+        return "local"  # no tunnel configured; whatever jax picks is fine
+    import subprocess
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; print(jax.devices())"],
+            capture_output=True, text=True, timeout=150)
+        if r.returncode == 0:
+            return "tpu"
+    except subprocess.TimeoutExpired:
+        pass
+    log("TPU tunnel unreachable -- re-exec on CPU backend (reduced size)")
+    env = {k: v for k, v in os.environ.items()
+           if k != "PALLAS_AXON_POOL_IPS"}
+    env.update({"_LRM_BENCH_CPU": "1", "JAX_PLATFORMS": "cpu",
+                "NREADS": os.environ.get("NREADS", "2048"),
+                "PASSES": os.environ.get("PASSES", "2")})
+    os.execve(sys.executable, [sys.executable, os.path.abspath(__file__)],
+              env)
+
+
 def main():
+    backend_note = _ensure_backend_reachable()
     import jax
     from longreadmapper_tpu.formats.catmeta import create_meta, load_cat, load_mta
     from longreadmapper_tpu.formats.fastx import encode_seq
@@ -135,12 +164,16 @@ def main():
     o_rps = n_o / (time.time() - t0)
     log(f"oracle baseline: {o_rps:.2f} reads/s")
 
-    print(json.dumps({
+    row = {
         "metric": "reads_per_s_per_chip",
         "value": round(rps, 2),
         "unit": "reads/s",
         "vs_baseline": round(rps / o_rps, 2),
-    }))
+    }
+    if backend_note == "cpu-fallback":
+        row["note"] = ("TPU tunnel unreachable; CPU-backend fallback -- "
+                       "NOT comparable to TPU rows")
+    print(json.dumps(row))
 
 
 if __name__ == "__main__":
