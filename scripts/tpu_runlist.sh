@@ -26,7 +26,7 @@ echo "=== runlist start $(date) ===" >> "$LOG"
 PROBE=$(mktemp)
 timeout 120 python -c "import jax; print(jax.devices())" > "$PROBE" 2>&1
 cat "$PROBE" >> "$LOG"
-grep -q "TpuDevice\|tpu" "$PROBE" || { echo "NO TPU — abort" >> "$LOG"; rm -f "$PROBE"; exit 1; }
+grep -qi "TpuDevice\|tpu" "$PROBE" || { echo "NO TPU — abort" >> "$LOG"; rm -f "$PROBE"; exit 1; }
 rm -f "$PROBE"
 
 # Ordered most-valuable-first in case the tunnel flaps mid-list.
