@@ -189,11 +189,32 @@ def _assemble_host_arrays(fmi: FMIndex, lch_kl: np.ndarray, hlen: int,
     return arrays, meta
 
 
+def _pad_rows4(a):
+    """Pad a table to a 4-row multiple with zeros (numpy, pre-upload).
+
+    The packed slot layout (MapperConfig.slot_pack in {2, 4}) reshapes
+    sa_ctx/sa_hi into pack-units; a non-multiple length would force a
+    full-table copy INSIDE the jitted step (~8 GB per step at a 1e9-row
+    genome).  Padding here makes that branch statically dead.  Pad rows
+    are only reachable through clipped ranks whose slots carry
+    valid=False, so they never contribute votes (same invariant the
+    mesh-padding path in parallel/dist.py relies on).  meta.n keeps the
+    true length; the on-disk devidx cache stays unpadded (version 1)."""
+    r = a.shape[0]
+    pad = -(-r // 4) * 4 - r
+    if pad == 0:
+        return a
+    return np.concatenate(
+        [a, np.zeros((pad,) + a.shape[1:], a.dtype)], axis=0)
+
+
 def _upload(arrays: dict, meta: IndexMeta) -> DeviceIndex:
     if meta.pos_dtype == "int64":
         _require_x64()
     return DeviceIndex(**{
-        k: (None if arrays[k] is None else jnp.asarray(arrays[k]))
+        k: (None if arrays[k] is None else jnp.asarray(
+            _pad_rows4(arrays[k]) if k in ("sa_ctx", "sa_hi")
+            else arrays[k]))
         for k in _ARRAY_NAMES})
 
 

@@ -40,7 +40,9 @@ def test_slim_layout_shapes(tmp_path):
     genome = "".join("ACGT"[c] for c in rng.integers(0, 4, 60_000))
     idx, meta, _ = _build_idx(tmp_path, genome, 8, slim=True)
     assert meta.slim
-    assert idx.sa_ctx.ndim == 1 and idx.sa_ctx.shape[0] == meta.n
+    # upload pads SA tables to a 4-row multiple (packed slot layout)
+    assert idx.sa_ctx.ndim == 1
+    assert idx.sa_ctx.shape[0] == -(-meta.n // 4) * 4
     nw = idx.text_packed.shape[0]
     assert idx.text_pair.shape == (nw + 2, 2)
     # adjacency + padding: row j == [padded[j], padded[j+1]]
