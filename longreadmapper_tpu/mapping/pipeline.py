@@ -115,6 +115,18 @@ class MapperConfig:
     # flag reaches the compiled step without new CLI surface:
     # LRM_PALLAS_DIRS=1.
     pallas_dirs: bool = False
+    # column-consuming traceback (ops/traceback.device_traceback_c):
+    # transpose vdirs to (B, band, G) and walk whole band columns per
+    # gather — iterations = #indels + 2 instead of L/16 + 2*edits.  Emits
+    # 16-bit run entries (counts reach L); the blob ships them bitcast to
+    # bytes and the host decode switches on this flag.  Short-read XLA
+    # path only; LRM_TB_COLWALK=0 falls back to the per-word v-walk.
+    tb_cols: bool = True
+
+    @property
+    def tb_entry16(self) -> bool:
+        """True when the CIGAR runs in the blob are 16-bit entries."""
+        return self.tb_cols and not self.use_gact and not self.pallas_dirs
     # slim HBM index layout (IndexMeta.slim): sa_ctx carries SA only and
     # the 16-base verify window is recomputed from a text_pair gather
     slim: bool = False
@@ -170,9 +182,16 @@ class MapperConfig:
         500 Mb hlen=14 bench config this is 384 vs 512 slots."""
         if self.exact_slots:
             return self.vote_slots_exact
+        # lam floor 0.05 (was 0.25): at deep-table configs lam is tiny
+        # (hlen=14 on the 4 Mb bench: 0.03) and the old floor held the
+        # budget at 96 slots where the self-hit mean is ~50 and the
+        # simulated phase max over 1e6 draws is ~61 — a 0.05 floor lands
+        # on 80 slots, cutting the step's dominant sa_ctx gather by
+        # another 1/6.  The retry tier keeps results bit-identical if a
+        # tail read ever exceeds the compact budget.
         lam = self.n / float(4 ** self.hlen)
-        mean = self.max_seeds * (1 + max(lam, 0.25))
-        sigma = (self.max_seeds * max(lam, 0.25)) ** 0.5
+        mean = self.max_seeds * (1 + max(lam, 0.05))
+        sigma = (self.max_seeds * max(lam, 0.05)) ** 0.5
         # LRM_VOTE_SIGMA: headroom multiplier A/B knob (default 5.0).
         # Lower = fewer gathered sa_ctx rows per step but more retry-tier
         # dispatches; the retry keeps results bit-identical either way.
@@ -248,6 +267,7 @@ class MapperConfig:
             error_rate=p.error_rate, vote_budget=p.vote_budget,
             pos64=meta.pos_dtype == "int64", slim=meta.slim,
             pallas_dirs=os.environ.get("LRM_PALLAS_DIRS", "") == "1",
+            tb_cols=os.environ.get("LRM_TB_COLWALK", "1") != "0",
             slot_pack=(lambda v: v if v in (1, 2, 4) else 1)(
                 int(os.environ.get("LRM_SLOT_PACK", "1"))))
 
@@ -747,9 +767,22 @@ def make_map_step(cfg: MapperConfig):
         nwords = L // 16
         w0 = (safe_loc >> 4).astype(jnp.int32)
         o = (safe_loc & 15).astype(jnp.int32)[:, None]
-        widx = jnp.clip(w0[:, None] + jnp.arange(nwords + 1, dtype=jnp.int32),
-                        0, idx.text_packed.shape[0] - 1)
-        wordsu = idx.text_packed[widx].astype(jnp.uint32)    # (B, nwords+1)
+        # the window rows are CONTIGUOUS word slices, so fetch them as a
+        # slice-gather (slice_sizes=(nwords+1,)): one row per read at
+        # per-ROW gather pricing instead of B*(L/16+1) per-element cost
+        # (~25 ns/element, ~3 ms at B=2048).  text_packed is padded by a
+        # window so CLIP never shifts an in-range row; pad words are only
+        # read at positions >= n, which the gpos mask sends to 5.
+        tp_pad = jnp.concatenate(
+            [idx.text_packed,
+             jnp.zeros((nwords + 1,), idx.text_packed.dtype)])
+        wordsu = lax.gather(
+            tp_pad, jnp.maximum(w0, 0)[:, None],
+            lax.GatherDimensionNumbers(offset_dims=(1,),
+                                       collapsed_slice_dims=(),
+                                       start_index_map=(0,)),
+            slice_sizes=(nwords + 1,),
+            mode=lax.GatherScatterMode.CLIP).astype(jnp.uint32)
         lo = lax.shift_right_logical(wordsu[:, :-1],
                                      (2 * o).astype(jnp.uint32))
         hi_shift = jnp.where(o > 0, 32 - 2 * o, 31).astype(jnp.uint32)
@@ -786,8 +819,10 @@ def make_map_step(cfg: MapperConfig):
             K = L // 16 + L // T + 4 * W + 16
         else:
             from ..ops.wavefront import banded_nw_dirs_v
-            from ..ops.traceback import device_traceback_v, \
-                traceback_v_iters
+            from ..ops.traceback import (device_traceback_c,
+                                         device_traceback_v,
+                                         traceback_c_iters,
+                                         traceback_v_iters)
             if cfg.pallas_dirs:
                 # band-on-sublanes Pallas kernel (ops/band_pallas):
                 # bit-identical words in band-major layout, the walk's
@@ -802,11 +837,24 @@ def make_map_step(cfg: MapperConfig):
                 vdirsT, wcol = banded_nw_dirs_vt(q, t, W, band)
                 run_bytes = device_traceback_v(vdirsT, lens, L, W,
                                                band_major=True)
+                K = traceback_v_iters(L, W) + 4
+            elif cfg.tb_cols:
+                # column-consuming walk: one gather per INDEL instead of
+                # per 16-row word.  Dead lanes (unmapped / over-limit, SAM
+                # CIGAR '*' either way) skip their walk entirely via the
+                # masked lens — they would otherwise pace the while_loop.
+                vdirs, wcol, nm = banded_nw_dirs_v(q, t, W, band,
+                                                   with_nm=True)
+                ed_pre = wcol[lens, jnp.arange(B)].astype(jnp.int32)
+                alive = found & (ed_pre <= limits.astype(jnp.int32))
+                lens_tb = jnp.where(alive, lens.astype(jnp.int32), 0)
+                run_units = device_traceback_c(vdirs, lens_tb, L, W, nm=nm)
+                K = 2 * run_units.shape[1]      # bytes after bitcast
             else:
                 vdirs, wcol = banded_nw_dirs_v(q, t, W, band)
                 run_bytes = device_traceback_v(vdirs, lens, L, W)
-            # real run bytes for an in-limit read: <= L/16 + 2W + slack
-            K = traceback_v_iters(L, W) + 4
+                # real run bytes for an in-limit read: <= L/16 + 2W + slack
+                K = traceback_v_iters(L, W) + 4
         ed_raw = wcol[lens, jnp.arange(B)].astype(jnp.int32)
         limit = limits.astype(jnp.int32)
         ed = jnp.where(ed_raw <= limit, ed_raw, -1)
@@ -835,13 +883,31 @@ def make_map_step(cfg: MapperConfig):
         # into one array (the link also pays a round trip PER ARRAY);
         # `ops_tail` is fetched lazily only when some read overflows the
         # head
-        is_pad = ((run_bytes & 3) == 3).astype(jnp.int8)
-        _, compact = lax.sort((is_pad, run_bytes), dimension=1,
-                              is_stable=True, num_keys=1)
+        if cfg.tb_entry16:
+            # pad-sort the 16-bit entries, then ship them bitcast to
+            # little-endian byte pairs (the host decode views them back
+            # as int16 — models/mapper._rle_groups entry16 path)
+            is_pad = ((run_units & 3) == 3).astype(jnp.int8)
+            _, cu = lax.sort((is_pad, run_units), dimension=1,
+                             is_stable=True, num_keys=1)
+            compact = lax.bitcast_convert_type(cu, jnp.int8).reshape(
+                cfg.B, -1)
+        else:
+            is_pad = ((run_bytes & 3) == 3).astype(jnp.int8)
+            _, compact = lax.sort((is_pad, run_bytes), dimension=1,
+                                  is_stable=True, num_keys=1)
         # long reads legitimately need ~L/16+2*ed real bytes, so the gact
         # path ships all K eagerly (the compute per chunk dwarfs the D2H);
         # short reads ship a small head + lazy tail
         head = K if cfg.use_gact else min(cfg.ops_head_cols, K)
+        if cfg.tb_entry16:
+            # entries are one per M-run/indel (not one per 16-row word):
+            # a typical read needs 1-2, a 15-indel read 31 — so the eager
+            # head can be 4x smaller than the byte format's, cutting the
+            # pass's dominant D2H blob ~2x (the link runs ~15 MB/s);
+            # rare indel-heavy chunks pay one lazy tail fetch instead
+            head = min(head, int(os.environ.get("LRM_OPS_HEAD", "64")))
+            head &= ~1                    # whole 2-byte entries only
         meta_bytes = lax.bitcast_convert_type(meta, jnp.int8).reshape(
             B, 4 * cfg.meta_words)
         blob = jnp.concatenate([meta_bytes, compact[:, :head]], axis=1)

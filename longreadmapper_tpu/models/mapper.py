@@ -52,11 +52,18 @@ class MapRecord:
 _OP_CHARS = np.frombuffer(b"MID?", dtype=np.uint8)
 
 
-def _rle_groups(runs: np.ndarray):
+def _rle_groups(runs: np.ndarray, entry16: bool = False):
     """Decode device_traceback_v output for a WHOLE chunk in one numpy
     pass: (count << 2 | op) bytes in reverse path order -> merged
     forward-order groups (g_row, g_op, tot).  Per-read numpy calls cost
-    more than the device step at these throughputs."""
+    more than the device step at these throughputs.
+
+    entry16: the runs are device_traceback_c's 16-bit entries shipped as
+    little-endian byte pairs (MapperConfig.tb_entry16) — same format,
+    wider counts."""
+    if entry16:
+        runs = np.ascontiguousarray(runs[:, :runs.shape[1] & ~1]).view(
+            np.int16)
     rev = runs[:, ::-1]
     op = rev & 3
     cnt = (rev >> 2).astype(np.int64)
@@ -74,18 +81,29 @@ def _rle_groups(runs: np.ndarray):
     return rows[starts], ops_f[starts], np.add.reduceat(cnt_f, starts)
 
 
-def _rle_runs_batch(runs: np.ndarray) -> List[List[Tuple[int, str]]]:
+def _rle_runs_batch(runs: np.ndarray,
+                    entry16: bool = False) -> List[List[Tuple[int, str]]]:
     B = runs.shape[0]
     out: List[List[Tuple[int, str]]] = [[] for _ in range(B)]
-    for r, o, t in zip(*_rle_groups(runs)):
+    for r, o, t in zip(*_rle_groups(runs, entry16)):
         out[r].append((int(t), chr(_OP_CHARS[o])))
     return out
 
 
-def _cigar_strings_batch(runs: np.ndarray) -> List[str]:
+def _tail_needed(ops: np.ndarray, entry16: bool) -> bool:
+    """True when some read's runs reach the last eager head slot (the
+    lazily-fetched tail may hold more).  The sentinel is the LAST ENTRY's
+    op bits — for 16-bit entries that is the low byte of the final pair."""
+    col = -2 if entry16 else -1
+    if ops.shape[1] < (2 if entry16 else 1):
+        return True
+    return bool((np.asarray(ops[:, col]) & 3 != 3).any())
+
+
+def _cigar_strings_batch(runs: np.ndarray, entry16: bool = False) -> List[str]:
     """Per-read CIGAR strings straight from the packed run bytes."""
     B = runs.shape[0]
-    g_row, g_op, tot = _rle_groups(runs)
+    g_row, g_op, tot = _rle_groups(runs, entry16)
     parts: List[List[str]] = [[] for _ in range(B)]
     opc = "MID?"
     for r, o, t in zip(g_row.tolist(), g_op.tolist(), tot.tolist()):
@@ -440,8 +458,8 @@ class TPUMapper:
                 out["meta"] = np.ascontiguousarray(
                     blob[:, :mb]).view(np.int32)
                 out["ops"] = blob[:, mb:]
-            if tail is not None and bool((np.asarray(out["ops"][:, -1])
-                                          & 3 != 3).any()):
+            if tail is not None and _tail_needed(out["ops"],
+                                                 cfg.tb_entry16):
                 out["ops"] = np.concatenate(
                     [out["ops"], jax.device_get(tail)], axis=1)
             out = self._retry_overflow(cfg, reads, out)
@@ -485,7 +503,7 @@ class TPUMapper:
             mb = 4 * cfg_r.meta_words
             meta_r = np.ascontiguousarray(blob[:, :mb]).view(np.int32)
             ops_r = blob[:, mb:]
-            if ops_r.shape[1] and bool((ops_r[:, -1] & 3 != 3).any()):
+            if ops_r.shape[1] and _tail_needed(ops_r, cfg_r.tb_entry16):
                 ops_r = np.concatenate([ops_r, np.asarray(tail_r)], axis=1)
             if ops_r.shape[1] > ops.shape[1]:
                 pad = np.full((ops.shape[0], ops_r.shape[1] - ops.shape[1]),
@@ -619,7 +637,8 @@ class TPUMapper:
         meta = np.asarray(out["meta"])
         found, gi, strand, off, ed = self._meta_cols(cfg, meta)
         n = len(reads)
-        cigs = _cigar_strings_batch(np.asarray(out["ops"][:n]))
+        cigs = _cigar_strings_batch(np.asarray(out["ops"][:n]),
+                                    cfg.tb_entry16)
         valid_l = (found & (ed >= 0))[:n].tolist()
         strand_l = strand[:n].tolist()
         found_l = found[:n].tolist()
@@ -670,7 +689,7 @@ class TPUMapper:
             strand = meta[:, 3] != 0
             off = meta[:, 4]
             ed = meta[:, 5]
-        all_runs = _rle_runs_batch(np.asarray(out["ops"]))
+        all_runs = _rle_runs_batch(np.asarray(out["ops"]), cfg.tb_entry16)
 
         recs: List[MapRecord] = []
         for i, (name, seq, qual) in enumerate(reads):

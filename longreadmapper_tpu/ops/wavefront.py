@@ -165,8 +165,8 @@ def banded_nw_dirs(q, t, W: int, band: int):
             jnp.concatenate([wcol0, wcol], axis=0))
 
 
-@partial(jax.jit, static_argnames=("W", "band"))
-def banded_nw_dirs_v(q, t, W: int, band: int):
+@partial(jax.jit, static_argnames=("W", "band", "with_nm"))
+def banded_nw_dirs_v(q, t, W: int, band: int, with_nm: bool = False):
     """banded_nw_dirs with VERTICALLY packed direction words, sized for the
     run-consuming walk (ops/traceback.device_traceback_v).
 
@@ -175,11 +175,20 @@ def banded_nw_dirs_v(q, t, W: int, band: int):
     at a FIXED d, so it lives inside ONE word — the walk consumes a whole
     run per gather instead of one cell.  Requires L % 16 == 0.
 
-    Returns (vdirs (L//16, B, band) int32, wcol (L+1, B) int16).
+    with_nm additionally returns the GROUP BITMAP for the column-consuming
+    walk (ops/traceback.device_traceback_c): nm (ceil(G/32), B, band)
+    uint32, bit (g & 31) of word g >> 5 set iff vdirs[g, b, d] has any
+    non-M pair.  Accumulated in the scan CARRY while each word is still in
+    registers — a post-hoc pass costs a full extra read of the ~134 MB
+    dirs volume (measured ~5 ms at (2048, 1024, 256)); this is ~free.
+
+    Returns (vdirs (L//16, B, band) int32, wcol (L+1, B) int16[, nm]).
     """
     B, L = q.shape
     assert L % 16 == 0
     dt = jnp.int32
+    G = L // 16
+    nbm = -(-G // 32)
 
     d_idx = jnp.arange(band, dtype=dt)
     j0 = d_idx - W
@@ -188,7 +197,8 @@ def banded_nw_dirs_v(q, t, W: int, band: int):
     tpad = jnp.pad(t.astype(jnp.int8), ((0, 0), (W + 1, band)),
                    constant_values=5)
 
-    def group(hprev, g):
+    def group(carry, g):
+        hprev, nm = carry
         word = jnp.zeros((B, band), dt)
         wcols = []
         for r in range(16):
@@ -208,9 +218,18 @@ def banded_nw_dirs_v(q, t, W: int, band: int):
             word = word | (dirs << (2 * r))
             wcols.append(row[:, W].astype(jnp.int16))
             hprev = row
-        return hprev, (word, jnp.stack(wcols, axis=0))
+        if with_nm:
+            bit = (word != 0).astype(jnp.uint32) << (g & 31).astype(jnp.uint32)
+            nm = tuple(jnp.where((g >> 5) == w, nm[w] | bit, nm[w])
+                       for w in range(nbm))
+        return (hprev, nm), (word, jnp.stack(wcols, axis=0))
 
-    _, (words, wcols) = lax.scan(group, row0, jnp.arange(L // 16, dtype=jnp.int32))
+    nm0 = tuple(jnp.zeros((B, band), jnp.uint32) + row0.astype(jnp.uint32) * 0
+                for _ in range(nbm)) if with_nm else ()
+    (_, nmF), (words, wcols) = lax.scan(
+        group, (row0, nm0), jnp.arange(G, dtype=jnp.int32))
     wcol = jnp.concatenate([row0[:, W].astype(jnp.int16)[None],
                             wcols.reshape(L, B)], axis=0)
+    if with_nm:
+        return words, wcol, jnp.stack(nmF, axis=0)
     return words, wcol
