@@ -29,7 +29,13 @@ GENOME_MB = int(os.environ.get("GMB", 4))
 N_READS = int(os.environ.get("NREADS", 16384))
 READ_LEN = int(os.environ.get("RLEN", 1000))
 ERR = float(os.environ.get("ERR", 0.03))
-HLEN = int(os.environ.get("HLEN", 12))
+# hlen is an INDEX-BUILD tuning knob our framework surfaces (the
+# reference hard-codes 12, asindex.c:142): expand-and-verify's dominant
+# sa_ctx gather scales with the vote-slot budget, which scales with the
+# lchash background rate n/4^hlen — the deeper table trades 4.3 GB HBM
+# for a 112 -> 80 slot budget (measured r4: 31.3k vs 28.2k reads/s at
+# hlen 12).  SAM output is hlen-independent (oracle runs the same hlen).
+HLEN = int(os.environ.get("HLEN", 14))
 CHUNK_B = int(os.environ.get("CHUNK_B", 2048))
 PASSES = int(os.environ.get("PASSES", 5))
 
@@ -80,18 +86,27 @@ def main():
     from longreadmapper_tpu.utils.config import Params
 
     log("devices:", jax.devices())
-    tmp = tempfile.mkdtemp(prefix="lrm_bench_")
+    # BENCH_CACHE=1: reuse a deterministic per-config dir so repeated A/B
+    # invocations skip the host index build (the hlen=14 lchash build
+    # alone costs ~8 min on this 1-core host); the genome/reads are
+    # seeded, so the cached artifacts are identical to a fresh build.
+    if os.environ.get("BENCH_CACHE", "") == "1":
+        tmp = f"/tmp/lrm_bench_cache_g{GENOME_MB}_h{HLEN}"
+        os.makedirs(tmp, exist_ok=True)
+    else:
+        tmp = tempfile.mkdtemp(prefix="lrm_bench_")
     rng = np.random.default_rng(2026)
 
     # --- data
     n = GENOME_MB * 1_000_000
     genome = "".join("ACGT"[c] for c in rng.integers(0, 4, n))
     fa = os.path.join(tmp, "ref.fa")
-    with open(fa, "w") as f:
-        f.write(">chr1\n")
-        step = 1 << 16
-        for i in range(0, n, step):
-            f.write(genome[i:i + step] + "\n")
+    if not (os.path.exists(fa) and os.path.getsize(fa) > n):
+        with open(fa, "w") as f:
+            f.write(">chr1\n")
+            step = 1 << 16
+            for i in range(0, n, step):
+                f.write(genome[i:i + step] + "\n")
     comp = str.maketrans("ACGT", "TGCA")
     reads = []
     alpha = "ACGT"
@@ -133,6 +148,8 @@ def main():
     # --- timed (device/host overlapped stream); five passes, report the
     # steady-state (fastest) one — the tunneled host link's throughput
     # drifts by up to 2x between runs
+    # the timed loop runs the PRODUCTION output path (SAM text, same as
+    # `cli map`) — the reference's unit of work is reads -> SAM records
     best_dt, valid = None, 0
     for _ in range(PASSES):
         mapper.phase_s = {k: 0.0 for k in mapper.phase_s}
@@ -140,9 +157,11 @@ def main():
         total = valid = 0
         chunk_iter = (reads[s:s + CHUNK_B]
                       for s in range(0, N_READS, CHUNK_B))
-        for recs in mapper.map_stream(chunk_iter):
-            valid += sum(r.valid for r in recs)
-            total += len(recs)
+        sam_bytes = 0
+        for text, n_recs, n_valid in mapper.map_stream_sam(chunk_iter):
+            sam_bytes += len(text)
+            valid += n_valid
+            total += n_recs
         dt = time.time() - t0
         ph = " ".join(f"{k}={v:.2f}s" for k, v in mapper.phase_s.items())
         log(f"pass: {dt:.2f}s ({total / dt:.0f} reads/s) host phases: {ph}")

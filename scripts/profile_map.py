@@ -73,8 +73,10 @@ def main():
     comp = str.maketrans("ACGT", "TGCA")
     codes = np.full((B, L), 4, dtype=np.int8)
     lens = np.zeros(B, dtype=np.int32)
+    pos = np.zeros(B, dtype=np.int64)
     for i in range(B):
         p = int(rng.integers(0, n - RL))
+        pos[i] = p
         s = genome[p:p + RL]
         if i % 2:
             s = s.translate(comp)[::-1]
@@ -109,10 +111,17 @@ def main():
     tbytes = ((tp[:, None] >> (2 * np.arange(16, dtype=np.uint32))) & 3
               ).reshape(-1)[:meta.n].astype(np.int8)
     tbytes[meta.n - 1] = 5                       # '$' never matches
-    t_host = tbytes[np.clip(np.arange(L)[None, :] + np.zeros((B, 1), np.int64),
+    # REALISTIC targets: each read's true window (reverse-strand reads
+    # align their RC against the forward window, like the step does).  A
+    # fixed garbage window makes every path worst-case (max edits) and
+    # the run-consuming walks then measure their iteration BOUND, not
+    # their real cost.
+    t_host = tbytes[np.clip(np.arange(L)[None, :] + pos[:, None],
                             0, meta.n - 1)]
     t_arr = jnp.asarray(t_host)
-    aln = jax.jit(lambda: banded_nw_dirs_v(codes, t_arr, cfg.W, cfg.band))
+    q_aln = jnp.asarray(np.where((np.arange(B) % 2)[:, None],
+                                 np.asarray(codes_rc), np.asarray(codes)))
+    aln = jax.jit(lambda: banded_nw_dirs_v(q_aln, t_arr, cfg.W, cfg.band))
     t_al = timeit(aln)
     cells = B * L * cfg.band
     print(f"align (banded_nw_dirs_v): {t_al*1e3:.1f} ms -> {cells/t_al/1e9:.1f} Gcells/s", flush=True)
@@ -120,7 +129,22 @@ def main():
     vdirs, _ = aln()
     tb = jax.jit(lambda: device_traceback_v(vdirs, lens, L, cfg.W))
     t_tb = timeit(tb)
-    print(f"traceback: {t_tb*1e3:.1f} ms", flush=True)
+    print(f"traceback (v-walk): {t_tb*1e3:.1f} ms", flush=True)
+
+    from longreadmapper_tpu.ops.traceback import device_traceback_c
+    tbc = jax.jit(lambda: device_traceback_c(vdirs, lens, L, cfg.W))
+    t_tbc = timeit(tbc)
+    print(f"traceback (c-walk, post-hoc bitmap): {t_tbc*1e3:.1f} ms",
+          flush=True)
+    alnm = jax.jit(lambda: banded_nw_dirs_v(q_aln, t_arr, cfg.W, cfg.band,
+                                            with_nm=True))
+    t_alnm = timeit(alnm)
+    _, _, nm_arr = alnm()
+    tbc2 = jax.jit(lambda: device_traceback_c(vdirs, lens, L, cfg.W,
+                                              nm=nm_arr))
+    t_tbc2 = timeit(tbc2)
+    print(f"align with_nm: {t_alnm*1e3:.1f} ms (+{(t_alnm-t_al)*1e3:.1f}); "
+          f"c-walk given nm: {t_tbc2*1e3:.1f} ms", flush=True)
 
 
 if __name__ == "__main__":
