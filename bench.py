@@ -75,9 +75,7 @@ def _ensure_backend_reachable() -> str:
 def main():
     backend_note = _ensure_backend_reachable()
     import jax
-    from longreadmapper_tpu.formats.catmeta import create_meta, load_cat, load_mta
-    from longreadmapper_tpu.formats.fastx import encode_seq
-    from longreadmapper_tpu.index.device import build_device_index
+    from longreadmapper_tpu.formats.catmeta import create_meta, load_cat
     from longreadmapper_tpu.index.fmi import FMIndex
     from longreadmapper_tpu.index.lchash import lc_build_from_sa
     from longreadmapper_tpu.index.sa import sa_build
@@ -121,23 +119,36 @@ def main():
             rng.integers(0, 4, int(mask.sum()))]
         reads.append((f"r{i}", chars.tobytes().decode(), "I" * READ_LEN))
 
-    # --- index build
+    # --- index build: write the full artifact set once, then load through
+    # the production `load_device_index` path (its devidx cache makes
+    # BENCH_CACHE reruns I/O-bound — the hlen-14 host lchash build alone
+    # costs ~200 s per invocation otherwise)
     params = Params(hlen=HLEN)
-    t0 = time.time()
-    mta = create_meta(fa, n_seed=0)
     prefix = fa + ".cat"
-    sa = sa_build(prefix)
-    fmi = FMIndex.build(prefix, sa=sa)
-    log(f"host index build (SA+FMI): {time.time() - t0:.1f}s")
+    artifacts = (fa + ".mta", prefix, prefix + ".sa5", prefix + ".mfi",
+                 prefix + ".lch")
+    if not all(os.path.exists(p) for p in artifacts):
+        from longreadmapper_tpu.formats.lch import write_lch
+        from longreadmapper_tpu.index.fmi import encode_bytes
+        t0 = time.time()
+        create_meta(fa, n_seed=0)
+        sa = sa_build(prefix)
+        fmi_b = FMIndex.build(prefix, sa=sa)
+        fmi_b.write(prefix)
+        log(f"host index build (SA+FMI): {time.time() - t0:.1f}s")
+        t0 = time.time()
+        kl = lc_build_from_sa(sa, encode_bytes(load_cat(prefix)), HLEN)
+        write_lch(prefix + ".lch", HLEN, kl)
+        log(f"SA-derived lchash build (4^{HLEN} k-mers): "
+            f"{time.time() - t0:.1f}s")
+        del sa, fmi_b, kl
     t0 = time.time()
-    cat = load_cat(prefix)
-    from longreadmapper_tpu.index.fmi import encode_bytes
-    kl = lc_build_from_sa(fmi.sa, encode_bytes(cat), HLEN)
-    log(f"SA-derived lchash build (4^{HLEN} k-mers): {time.time() - t0:.1f}s")
-    idx, meta = build_device_index(fmi, kl, HLEN, cat, mta)
+    from longreadmapper_tpu.index.device import load_device_index
+    idx, meta, mta = load_device_index(fa)
+    log(f"device index load: {time.time() - t0:.1f}s "
+        f"(hlen={meta.hlen}, n={meta.n})")
 
-    mapper = TPUMapper(idx, meta, load_mta(fa + ".mta"), params,
-                       chunk_b=CHUNK_B)
+    mapper = TPUMapper(idx, meta, mta, params, chunk_b=CHUNK_B)
 
     # --- warmup (compile)
     t0 = time.time()
@@ -175,7 +186,11 @@ def main():
         f"(valid {valid}/{total}); DP ~{cells / dt / 1e9:.2f} Gcells/s")
 
     # --- oracle baseline (few reads, extrapolate)
-    oracle = OracleMapper(fmi, kl, HLEN, cat, load_mta(fa + ".mta"), params)
+    from longreadmapper_tpu.formats.lch import read_lch
+    fmi = FMIndex.read(prefix, with_sa=True)
+    o_hlen, kl = read_lch(prefix + ".lch")
+    cat = load_cat(prefix)
+    oracle = OracleMapper(fmi, kl, o_hlen, cat, mta, params)
     t0 = time.time()
     n_o = 3
     for name, s, _ in reads[:n_o]:

@@ -29,7 +29,12 @@ from longreadmapper_tpu.utils.config import Params
 GENOME_MB = int(os.environ.get("GMB", 4))
 B = int(os.environ.get("B", 128))
 RL = int(os.environ.get("RL", 1000))
-HLEN = 12
+HLEN = int(os.environ.get("HLEN", 12))
+# PROF_CACHE=/tmp/lrm_bench_cache_g4_h14: load the bench.py BENCH_CACHE=1
+# index via load_device_index instead of rebuilding (the hlen-14 lchash
+# host build alone is ~200 s); the bench genome is seeded (2026) so the
+# text regenerates identically for read/target sampling.
+PROF_CACHE = os.environ.get("PROF_CACHE", "")
 
 
 def timeit(fn, *a, n=5):
@@ -43,26 +48,37 @@ def timeit(fn, *a, n=5):
 
 
 def main():
-    tmp = tempfile.mkdtemp(prefix="lrm_prof_")
-    rng = np.random.default_rng(7)
     n = GENOME_MB * 1_000_000
-    genome = "".join("ACGT"[c] for c in rng.integers(0, 4, n))
-    fa = os.path.join(tmp, "ref.fa")
-    with open(fa, "w") as f:
-        f.write(">chr1\n")
-        for i in range(0, n, 1 << 16):
-            f.write(genome[i:i + (1 << 16)] + "\n")
-    t0 = time.time()
-    mta = create_meta(fa, n_seed=0)
-    prefix = fa + ".cat"
-    sa = sa_build(prefix)
-    fmi = FMIndex.build(prefix, sa=sa)
-    print(f"SA+FMI: {time.time()-t0:.1f}s", flush=True)
-    t0 = time.time()
-    kl = lc_build_from_sa(fmi.sa, encode_bytes(load_cat(prefix)), HLEN)
-    print(f"lchash from SA: {time.time()-t0:.1f}s", flush=True)
-    idx, meta = build_device_index(fmi, kl, HLEN, load_cat(prefix),
-                                   load_mta(fa + ".mta"))
+    if PROF_CACHE:
+        from longreadmapper_tpu.index.device import load_device_index
+        rng = np.random.default_rng(2026)          # bench.py's genome seed
+        genome = "".join("ACGT"[c] for c in rng.integers(0, 4, n))
+        fa = os.path.join(PROF_CACHE, "ref.fa")
+        t0 = time.time()
+        idx, meta, _ = load_device_index(fa)
+        assert meta.hlen == HLEN, (meta.hlen, HLEN)
+        print(f"index load (cache): {time.time()-t0:.1f}s", flush=True)
+        rng = np.random.default_rng(7)             # read sampling as below
+    else:
+        tmp = tempfile.mkdtemp(prefix="lrm_prof_")
+        rng = np.random.default_rng(7)
+        genome = "".join("ACGT"[c] for c in rng.integers(0, 4, n))
+        fa = os.path.join(tmp, "ref.fa")
+        with open(fa, "w") as f:
+            f.write(">chr1\n")
+            for i in range(0, n, 1 << 16):
+                f.write(genome[i:i + (1 << 16)] + "\n")
+        t0 = time.time()
+        mta = create_meta(fa, n_seed=0)
+        prefix = fa + ".cat"
+        sa = sa_build(prefix)
+        fmi = FMIndex.build(prefix, sa=sa)
+        print(f"SA+FMI: {time.time()-t0:.1f}s", flush=True)
+        t0 = time.time()
+        kl = lc_build_from_sa(fmi.sa, encode_bytes(load_cat(prefix)), HLEN)
+        print(f"lchash from SA: {time.time()-t0:.1f}s", flush=True)
+        idx, meta = build_device_index(fmi, kl, HLEN, load_cat(prefix),
+                                       load_mta(fa + ".mta"))
 
     params = Params(hlen=HLEN)
     L = 1024
