@@ -44,22 +44,38 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def _ensure_backend_reachable() -> str:
+def _ensure_backend_reachable() -> tuple:
     """A down axon tunnel hangs `import jax` indefinitely (the sitecustomize
     dials the relay).  Probe in a timeboxed subprocess; on failure re-exec
     onto the CPU backend with a reduced workload so the driver still gets
-    its JSON line (marked, not comparable to TPU rows)."""
+    its JSON line (marked, not comparable to TPU rows).
+
+    The probe also times a D2H round trip: a DEGRADED link (2026-08-19
+    mode: devices() answers, fetches stall for minutes) makes TPU numbers
+    a link artifact — returned so the JSON row can say so."""
     if os.environ.get("_LRM_BENCH_CPU"):
-        return "cpu-fallback"
+        return "cpu-fallback", None
     if not os.environ.get("PALLAS_AXON_POOL_IPS"):
-        return "local"  # no tunnel configured; whatever jax picks is fine
+        return "local", None  # no tunnel configured; whatever jax picks is ok
     import subprocess
     try:
         r = subprocess.run(
-            [sys.executable, "-c", "import jax; print(jax.devices())"],
-            capture_output=True, text=True, timeout=150)
+            [sys.executable, "-c",
+             "import time, jax, numpy as np;"
+             "print(jax.devices());"
+             "x = jax.jit(lambda a: a @ a)("
+             "jax.device_put(np.ones((64, 64), np.float32)));"
+             "t0 = time.time(); np.asarray(x);"
+             "print('D2H', time.time() - t0)"],
+            capture_output=True, text=True, timeout=240)
         if r.returncode == 0:
-            return "tpu"
+            d2h = None
+            for tok in r.stdout.split():
+                try:
+                    d2h = float(tok)
+                except ValueError:
+                    pass
+            return "tpu", d2h
     except subprocess.TimeoutExpired:
         pass
     log("TPU tunnel unreachable -- re-exec on CPU backend (reduced size)")
@@ -73,7 +89,7 @@ def _ensure_backend_reachable() -> str:
 
 
 def main():
-    backend_note = _ensure_backend_reachable()
+    backend_note, probe_d2h = _ensure_backend_reachable()
     import jax
     from longreadmapper_tpu.formats.catmeta import create_meta, load_cat
     from longreadmapper_tpu.index.fmi import FMIndex
@@ -84,11 +100,13 @@ def main():
     from longreadmapper_tpu.utils.config import Params
 
     log("devices:", jax.devices())
-    # BENCH_CACHE=1: reuse a deterministic per-config dir so repeated A/B
-    # invocations skip the host index build (the hlen=14 lchash build
-    # alone costs ~8 min on this 1-core host); the genome/reads are
-    # seeded, so the cached artifacts are identical to a fresh build.
-    if os.environ.get("BENCH_CACHE", "") == "1":
+    # BENCH_CACHE (default 1): reuse a deterministic per-config dir so
+    # repeated invocations skip the host index build (the hlen=14 lchash
+    # build alone costs ~3 min on this 1-core host); the genome/reads are
+    # seeded and the devidx cache is fingerprint+version checked, so the
+    # cached artifacts are identical to a fresh build.  BENCH_CACHE=0
+    # forces a from-scratch build in a fresh tempdir.
+    if os.environ.get("BENCH_CACHE", "1") == "1":
         tmp = f"/tmp/lrm_bench_cache_g{GENOME_MB}_h{HLEN}"
         os.makedirs(tmp, exist_ok=True)
     else:
@@ -207,6 +225,10 @@ def main():
     if backend_note == "cpu-fallback":
         row["note"] = ("TPU tunnel unreachable; CPU-backend fallback -- "
                        "NOT comparable to TPU rows")
+    elif probe_d2h is not None and probe_d2h > 10:
+        row["note"] = (f"TPU link DEGRADED at capture (D2H probe "
+                       f"{probe_d2h:.0f}s vs ~0.03s healthy) -- value is "
+                       f"a link artifact, see BASELINE.md for clean runs")
     print(json.dumps(row))
 
 

@@ -88,7 +88,9 @@ def test_repeat_genome_sweep(tmp_path):
 
     rng = np.random.default_rng(2026)
     genome = build_repeat_genome(rng, 4_000_000)
-    hlen = 12
+    # LRM_REPEAT_HLEN=14 validates the deep-table bench default (80-slot
+    # compact budget + retry tier) against the repeat-rich config too
+    hlen = int(os.environ.get("LRM_REPEAT_HLEN", "12"))
     params = Params(hlen=hlen)
     _, _, _, idx, meta, mta = _build(tmp_path, genome, hlen)
 
