@@ -22,12 +22,17 @@ print(f'D2H probe {dt:.2f}s')
 assert dt < 20, f'link degraded: D2H {dt:.1f}s'
 " >> "$LOG" 2>&1; then
     echo "=== TPU HEALTHY $(date) — starting runlist r4 ===" >> "$LOG"
+    # suspend the build's whole process GROUP (the build may be a shell
+    # chaining several python stages — launch it with setsid so the PGID
+    # equals the PID passed here); fall back to the single PID.
     if [ -n "$BUILD_PID" ] && kill -0 "$BUILD_PID" 2>/dev/null; then
-      kill -STOP "$BUILD_PID" && echo "build $BUILD_PID suspended" >> "$LOG"
+      { kill -STOP -- "-$BUILD_PID" 2>/dev/null || kill -STOP "$BUILD_PID"; } \
+        && echo "build $BUILD_PID suspended" >> "$LOG"
     fi
     bash scripts/tpu_runlist_r4.sh
     if [ -n "$BUILD_PID" ] && kill -0 "$BUILD_PID" 2>/dev/null; then
-      kill -CONT "$BUILD_PID" && echo "build $BUILD_PID resumed" >> "$LOG"
+      { kill -CONT -- "-$BUILD_PID" 2>/dev/null || kill -CONT "$BUILD_PID"; } \
+        && echo "build $BUILD_PID resumed" >> "$LOG"
     fi
     echo "=== runlist r4 finished $(date) ===" >> "$LOG"
     exit 0
