@@ -182,6 +182,16 @@ class MapperConfig:
         500 Mb hlen=14 bench config this is 384 vs 512 slots."""
         if self.exact_slots:
             return self.vote_slots_exact
+        # LRM_VOTE_SLOTS: forced compact-tier budget for A/B runs (the
+        # sigma knob can't reach below mean+16 — at the hlen-14 bench
+        # config that floors at 80 while the simulated phase max is 58,
+        # so a 64-slot candidate needs an explicit override).  Clamped to
+        # [64, exact]; 16-granular; the retry tier keeps results
+        # bit-identical however tight the budget is set.
+        forced = os.environ.get("LRM_VOTE_SLOTS")
+        if forced:
+            want = max(64, -(-int(forced) // 16) * 16)
+            return min(self.vote_slots_exact, want)
         # lam floor 0.05 (was 0.25): at deep-table configs lam is tiny
         # (hlen=14 on the 4 Mb bench: 0.03) and the old floor held the
         # budget at 96 slots where the self-hit mean is ~50 and the

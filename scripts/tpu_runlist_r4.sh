@@ -48,6 +48,11 @@ run bench_pallas 2400 env LRM_PALLAS_DIRS=1 PASSES=3 python bench.py
 # 3. dispatch-latency amortization: one bigger chunk bucket
 run bench_b4096 2400 env CHUNK_B=4096 PASSES=3 python bench.py
 
+# 3b. forced 64-slot compact budget at hlen 14 (computed budget is 80;
+# simulated phase max is 58 — 64 holds it with the retry tier as the
+# exactness guarantee; decides whether the mean+16 headroom is money)
+run bench_v64 2400 env LRM_VOTE_SLOTS=64 PASSES=3 python bench.py
+
 # 4. per-stage device profile at the hlen-14 default (seed_vote at the
 # 80-slot budget; c-walk traceback timings with realistic targets)
 run profile 2400 env B=2048 RL=1000 HLEN=14 \

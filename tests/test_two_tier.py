@@ -43,6 +43,31 @@ def test_compact_tier_sizes():
     assert cfg.vote_slots >= cfg.max_seeds * lam
 
 
+def test_forced_slot_override(monkeypatch):
+    """LRM_VOTE_SLOTS forces the compact-tier budget (A/B knob): 16-granular,
+    clamped to [64, exact]; exact tier is unaffected."""
+    from dataclasses import replace
+
+    from longreadmapper_tpu.mapping.pipeline import MapperConfig
+
+    cfg = MapperConfig(B=2048, L=1024, seed_len=20, gap_len=1, thres=300,
+                       hlen=14, n=8_000_000, dollar_pos=0, accept_score=0.6,
+                       error_rate=0.05)
+    monkeypatch.setenv("LRM_VOTE_SLOTS", "64")
+    assert cfg.vote_slots == 64
+    monkeypatch.setenv("LRM_VOTE_SLOTS", "70")      # rounds up to 16-gran
+    assert cfg.vote_slots == 80
+    monkeypatch.setenv("LRM_VOTE_SLOTS", "16")      # clamped up to 64
+    assert cfg.vote_slots == 64
+    monkeypatch.setenv("LRM_VOTE_SLOTS", "100000")  # clamped to exact
+    assert cfg.vote_slots == cfg.vote_slots_exact
+    exact = replace(cfg, exact_slots=True)
+    monkeypatch.setenv("LRM_VOTE_SLOTS", "64")
+    assert exact.vote_slots == exact.vote_slots_exact
+    monkeypatch.delenv("LRM_VOTE_SLOTS")
+    assert cfg.vote_slots == 80  # hlen-14 computed default
+
+
 def test_overflow_retry_matches_oracle(tmp_path):
     """Reads from a 5-copy tandem array overflow the compact tier (~100
     votes/phase vs 64 slots) but fit the exact tier (128): the retry must
