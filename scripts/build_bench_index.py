@@ -87,20 +87,41 @@ def main(argv=None) -> int:
     log(f"create_meta: {time.time() - t0:.0f}s "
         f"(.cat = {os.path.getsize(prefix)} bytes)")
 
+    # Each stage below resumes from a completed on-disk artifact: a
+    # ~500 Mb build takes several 1-core hours end-to-end and sessions
+    # have wall clocks — an interrupted build must not redo the SA.
+    n_cat = os.path.getsize(prefix)
     t0 = time.time()
-    sa = sa_build(prefix)
-    log(f"sa_build: {time.time() - t0:.0f}s (n = {sa.shape[0]})")
+    if os.path.exists(prefix + ".sa5") and \
+            os.path.getsize(prefix + ".sa5") == 5 * n_cat:
+        from longreadmapper_tpu.index.sa import sa_load
+        sa = sa_load(prefix)
+        log(f"sa_load (resume): {time.time() - t0:.0f}s (n = {sa.shape[0]})")
+    else:
+        sa = sa_build(prefix)
+        log(f"sa_build: {time.time() - t0:.0f}s (n = {sa.shape[0]})")
 
     t0 = time.time()
-    fmi = FMIndex.build(prefix, sa=sa)
-    fmi.write(prefix)
-    log(f"fmi_build+write: {time.time() - t0:.0f}s")
+    if os.path.exists(prefix + ".mfi"):
+        fmi = FMIndex.read(prefix, with_sa=False)
+        fmi.sa = sa
+        log(f"fmi_read (resume): {time.time() - t0:.0f}s")
+    else:
+        fmi = FMIndex.build(prefix, sa=sa)
+        fmi.write(prefix)
+        log(f"fmi_build+write: {time.time() - t0:.0f}s")
 
     t0 = time.time()
     cat = load_cat(prefix)
-    kl = lc_build_from_sa(sa, encode_bytes(cat), args.hlen)
-    write_lch(prefix + ".lch", args.hlen, kl)
-    log(f"lc_build_from_sa(hlen={args.hlen}): {time.time() - t0:.0f}s")
+    if os.path.exists(prefix + ".lch"):
+        from longreadmapper_tpu.formats.lch import read_lch
+        got_hlen, kl = read_lch(prefix + ".lch")
+        assert got_hlen == args.hlen, (got_hlen, args.hlen)
+        log(f"lch read (resume): {time.time() - t0:.0f}s")
+    else:
+        kl = lc_build_from_sa(sa, encode_bytes(cat), args.hlen)
+        write_lch(prefix + ".lch", args.hlen, kl)
+        log(f"lc_build_from_sa(hlen={args.hlen}): {time.time() - t0:.0f}s")
 
     t0 = time.time()
     arrays, meta = _assemble_host_arrays(fmi, kl, args.hlen, cat, mta)
