@@ -19,10 +19,23 @@ instead.  Functionally identical — those entries are never read.
 
 from __future__ import annotations
 
+import os
 import struct
 from dataclasses import dataclass
 
 import numpy as np
+
+
+def _read_exact(f, n: int, what: str) -> bytes:
+    """Read exactly n bytes or raise — a truncated index artifact (e.g. an
+    interrupted build that a resume later trusts) must fail loudly, not load
+    as a silently shorter table (ADVICE r4)."""
+    b = f.read(n)
+    if len(b) != n:
+        raise ValueError(
+            f"truncated {what}: wanted {n} bytes, got {len(b)} "
+            f"({getattr(f, 'name', '?')})")
+    return b
 
 
 @dataclass
@@ -40,7 +53,10 @@ class MfiData:
 
 
 def write_mfi(data: MfiData, prefix: str) -> None:
-    with open(prefix + ".mfi", "wb") as f:
+    # tmp + atomic rename: an interrupted build must never leave a
+    # truncated .mfi at the final path for a resume to trust (ADVICE r4).
+    tmp = prefix + ".mfi.tmp"
+    with open(tmp, "wb") as f:
         f.write(np.asarray(data.c, dtype="<u8").tobytes())
         f.write(struct.pack("<i", data.o_ratio))
         f.write(struct.pack("<Q", data.o.shape[0]))
@@ -50,17 +66,22 @@ def write_mfi(data: MfiData, prefix: str) -> None:
         f.write(struct.pack("<i", data.csa_ratio))
         f.write(struct.pack("<Q", data.csa.shape[0]))
         f.write(np.asarray(data.csa, dtype="<u8").tobytes())
+    os.replace(tmp, prefix + ".mfi")
 
 
 def read_mfi(prefix: str) -> MfiData:
     with open(prefix + ".mfi", "rb") as f:
-        c = np.frombuffer(f.read(256 * 8), dtype="<u8").copy()
-        (o_ratio,) = struct.unpack("<i", f.read(4))
-        (o_len,) = struct.unpack("<Q", f.read(8))
-        o = np.frombuffer(f.read(o_len * 8), dtype="<u8").copy()
-        (length,) = struct.unpack("<Q", f.read(8))
-        bwt = np.frombuffer(f.read(length), dtype=np.uint8).copy()
-        (csa_ratio,) = struct.unpack("<i", f.read(4))
-        (csa_len,) = struct.unpack("<Q", f.read(8))
-        csa = np.frombuffer(f.read(csa_len * 8), dtype="<u8").copy()
+        c = np.frombuffer(_read_exact(f, 256 * 8, "mfi C table"),
+                          dtype="<u8").copy()
+        (o_ratio,) = struct.unpack("<i", _read_exact(f, 4, "mfi o_ratio"))
+        (o_len,) = struct.unpack("<Q", _read_exact(f, 8, "mfi o_len"))
+        o = np.frombuffer(_read_exact(f, o_len * 8, "mfi O table"),
+                          dtype="<u8").copy()
+        (length,) = struct.unpack("<Q", _read_exact(f, 8, "mfi bwt length"))
+        bwt = np.frombuffer(_read_exact(f, length, "mfi BWT"),
+                            dtype=np.uint8).copy()
+        (csa_ratio,) = struct.unpack("<i", _read_exact(f, 4, "mfi csa_ratio"))
+        (csa_len,) = struct.unpack("<Q", _read_exact(f, 8, "mfi csa_len"))
+        csa = np.frombuffer(_read_exact(f, csa_len * 8, "mfi CSA"),
+                            dtype="<u8").copy()
     return MfiData(c=c, o_ratio=o_ratio, o=o, bwt=bwt, csa_ratio=csa_ratio, csa=csa)

@@ -9,6 +9,8 @@ array of the .cat text in this format; the aligner mmaps/reads it whole
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 
@@ -17,9 +19,14 @@ def write_sa5(sa: np.ndarray, path: str, chunk: int = 1 << 27) -> None:
 
     Streams in `chunk`-entry blocks: the packing temporaries are ~12
     bytes/entry, which at genome scale (hg19 .cat = 6.2e9 entries) would
-    add ~75 GB on top of the SA itself if materialized whole."""
+    add ~75 GB on top of the SA itself if materialized whole.
+
+    Written via tmp + atomic rename: build resumes trust a `.sa5` at the
+    final path (size-checked), so an interrupted write must not leave a
+    partial file there (ADVICE r4)."""
     n = sa.shape[0]
-    with open(path, "wb") as f:
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
         for s in range(0, n, chunk):
             part = np.asarray(sa[s:s + chunk], dtype=np.uint64)
             m = part.shape[0]
@@ -28,6 +35,7 @@ def write_sa5(sa: np.ndarray, path: str, chunk: int = 1 << 27) -> None:
             buf[:, 0:4] = low.view(np.uint8).reshape(m, 4)  # LE platform
             buf[:, 4] = (part >> np.uint64(32)).astype(np.uint8)
             buf.tofile(f)
+    os.replace(tmp, path)
 
 
 class Sa5Writer:
@@ -35,7 +43,9 @@ class Sa5Writer:
     SA build emits the suffix array as a merge stream, never whole)."""
 
     def __init__(self, path: str):
-        self._f = open(path, "wb")
+        # written to a tmp path; close() renames — see write_sa5.
+        self._path = path
+        self._f = open(path + ".tmp", "wb")
 
     def append(self, batch: np.ndarray) -> None:
         part = np.ascontiguousarray(batch, dtype=np.uint64)
@@ -48,12 +58,16 @@ class Sa5Writer:
 
     def close(self) -> None:
         self._f.close()
+        os.replace(self._path + ".tmp", self._path)
 
     def __enter__(self):
         return self
 
-    def __exit__(self, *exc):
-        self.close()
+    def __exit__(self, exc_type, *exc):
+        if exc_type is None:
+            self.close()
+        else:  # leave the .tmp for post-mortem; never promote a partial file
+            self._f.close()
 
 
 def read_sa5(path: str, count: int = -1) -> np.ndarray:

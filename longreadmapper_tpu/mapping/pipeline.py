@@ -235,6 +235,13 @@ class MapperConfig:
         p = self.pack
         if p == 1:
             return self.vote_slots
+        if os.environ.get("LRM_VOTE_SLOTS"):
+            # the forced budget is a flat-layout row count; silently
+            # ignoring it under a pack>1 layout would make a combined
+            # A/B run misleading (ADVICE r4) — refuse the combination.
+            raise ValueError(
+                "LRM_VOTE_SLOTS and LRM_SLOT_PACK>1 are mutually exclusive "
+                "(the packed layout budgets pack-units, not flat slots)")
         lam = max(self.n / float(4 ** self.hlen), 0.25)
         # units/seed = ceil((k%p + 1 + Poisson(lam))/p): mean (lam+p)/p
         # exactly (k%p ~ U[0,p)); variance = background lam/p^2 plus

@@ -115,8 +115,12 @@ def main():
     t_full = timeit(lambda: step(idx, codes, codes_rc, lens, limits))
     print(f"full step: {t_full*1e3:.1f} ms -> {B/t_full:.0f} reads/s", flush=True)
 
-    sv = jax.jit(lambda: _seed_vote(cfg, idx, codes, lens))
-    t_sv = timeit(sv)
+    # NB: every jitted stage closure must take its arrays as ARGUMENTS —
+    # a zero-arg lambda captures the multi-GB device index as HLO
+    # constants, which the axon remote-compile service rejects (HTTP 413
+    # at 2.2 GB, round-4 runlist `profile` failure).
+    sv = jax.jit(lambda i, c, ln: _seed_vote(cfg, i, c, ln))
+    t_sv = timeit(sv, idx, codes, lens)
     print(f"seed+vote: {t_sv*1e3:.1f} ms", flush=True)
 
     # align-only on dummy targets (the production short-read path:
@@ -137,28 +141,28 @@ def main():
     t_arr = jnp.asarray(t_host)
     q_aln = jnp.asarray(np.where((np.arange(B) % 2)[:, None],
                                  np.asarray(codes_rc), np.asarray(codes)))
-    aln = jax.jit(lambda: banded_nw_dirs_v(q_aln, t_arr, cfg.W, cfg.band))
-    t_al = timeit(aln)
+    aln = jax.jit(lambda q, t: banded_nw_dirs_v(q, t, cfg.W, cfg.band))
+    t_al = timeit(aln, q_aln, t_arr)
     cells = B * L * cfg.band
     print(f"align (banded_nw_dirs_v): {t_al*1e3:.1f} ms -> {cells/t_al/1e9:.1f} Gcells/s", flush=True)
 
-    vdirs, _ = aln()
-    tb = jax.jit(lambda: device_traceback_v(vdirs, lens, L, cfg.W))
-    t_tb = timeit(tb)
+    vdirs, _ = aln(q_aln, t_arr)
+    tb = jax.jit(lambda v, ln: device_traceback_v(v, ln, L, cfg.W))
+    t_tb = timeit(tb, vdirs, lens)
     print(f"traceback (v-walk): {t_tb*1e3:.1f} ms", flush=True)
 
     from longreadmapper_tpu.ops.traceback import device_traceback_c
-    tbc = jax.jit(lambda: device_traceback_c(vdirs, lens, L, cfg.W))
-    t_tbc = timeit(tbc)
+    tbc = jax.jit(lambda v, ln: device_traceback_c(v, ln, L, cfg.W))
+    t_tbc = timeit(tbc, vdirs, lens)
     print(f"traceback (c-walk, post-hoc bitmap): {t_tbc*1e3:.1f} ms",
           flush=True)
-    alnm = jax.jit(lambda: banded_nw_dirs_v(q_aln, t_arr, cfg.W, cfg.band,
-                                            with_nm=True))
-    t_alnm = timeit(alnm)
-    _, _, nm_arr = alnm()
-    tbc2 = jax.jit(lambda: device_traceback_c(vdirs, lens, L, cfg.W,
-                                              nm=nm_arr))
-    t_tbc2 = timeit(tbc2)
+    alnm = jax.jit(lambda q, t: banded_nw_dirs_v(q, t, cfg.W, cfg.band,
+                                                 with_nm=True))
+    t_alnm = timeit(alnm, q_aln, t_arr)
+    _, _, nm_arr = alnm(q_aln, t_arr)
+    tbc2 = jax.jit(lambda v, ln, nm_a: device_traceback_c(v, ln, L, cfg.W,
+                                                          nm=nm_a))
+    t_tbc2 = timeit(tbc2, vdirs, lens, nm_arr)
     print(f"align with_nm: {t_alnm*1e3:.1f} ms (+{(t_alnm-t_al)*1e3:.1f}); "
           f"c-walk given nm: {t_tbc2*1e3:.1f} ms", flush=True)
 

@@ -98,3 +98,44 @@ def test_lcg48_matches_c_lrand48():
     r = Lcg48(42)
     vals = [r.lrand48() for _ in range(3)]
     assert vals == [1598855263, 735945821, 238553827]
+
+
+def test_truncated_artifacts_raise(tmp_path):
+    """Truncated .mfi/.lch artifacts must fail loudly on read, and writes
+    must be atomic (tmp+rename) so an interrupted build never leaves a
+    partial file at the final path for a resume to trust (ADVICE r4)."""
+    from longreadmapper_tpu.formats.lch import read_lch, write_lch
+    from longreadmapper_tpu.formats.mfi import MfiData, read_mfi, write_mfi
+
+    hlen = 3
+    kl = np.arange(2 * 4 ** hlen, dtype=np.uint64).reshape(-1, 2)
+    lch = str(tmp_path / "x.lch")
+    write_lch(lch, hlen, kl)
+    assert not os.path.exists(lch + ".tmp")
+    got_hlen, got = read_lch(lch)
+    assert got_hlen == hlen and np.array_equal(got, kl)
+    # truncate mid-table
+    with open(lch, "r+b") as f:
+        f.truncate(os.path.getsize(lch) - 16)
+    with pytest.raises(ValueError, match="truncated"):
+        read_lch(lch)
+
+    prefix = str(tmp_path / "y")
+    bwt = np.frombuffer(b"ard$rcaaaabb", dtype=np.uint8).copy()
+    d = MfiData(c=np.arange(256, dtype=np.uint64), o_ratio=4,
+                o=np.arange(16, dtype=np.uint64), bwt=bwt,
+                csa_ratio=4, csa=np.arange(4, dtype=np.uint64))
+    write_mfi(d, prefix)
+    assert not os.path.exists(prefix + ".mfi.tmp")
+    r = read_mfi(prefix)
+    assert np.array_equal(r.bwt, bwt) and np.array_equal(r.csa, d.csa)
+    with open(prefix + ".mfi", "r+b") as f:
+        f.truncate(os.path.getsize(prefix + ".mfi") - 8)
+    with pytest.raises(ValueError, match="truncated"):
+        read_mfi(prefix)
+
+    # .sa5 writes are atomic too (resume trusts a size-checked final path)
+    sa = np.arange(100, dtype=np.int64)
+    write_sa5(sa, str(tmp_path / "z.sa5"))
+    assert not os.path.exists(str(tmp_path / "z.sa5.tmp"))
+    assert np.array_equal(read_sa5(str(tmp_path / "z.sa5")), sa)
