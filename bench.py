@@ -35,6 +35,8 @@ ERR = float(os.environ.get("ERR", 0.03))
 # lchash background rate n/4^hlen — the deeper table trades 4.3 GB HBM
 # for a 112 -> 80 slot budget (measured r4: 31.3k vs 28.2k reads/s at
 # hlen 12).  SAM output is hlen-independent (oracle runs the same hlen).
+# default = the production auto-hlen rule (utils/config.auto_hlen): the
+# bench genome and `cli index` now land on the same table depth
 HLEN = int(os.environ.get("HLEN", 14))
 CHUNK_B = int(os.environ.get("CHUNK_B", 2048))
 PASSES = int(os.environ.get("PASSES", 5))
@@ -79,8 +81,10 @@ def _ensure_backend_reachable() -> tuple:
     except subprocess.TimeoutExpired:
         pass
     log("TPU tunnel unreachable -- re-exec on CPU backend (reduced size)")
+    # LRM_PALLAS_DIRS must not survive the fallback: Pallas kernels only
+    # lower in interpret mode on CPU (round-4 bench_pallas crashed here)
     env = {k: v for k, v in os.environ.items()
-           if k != "PALLAS_AXON_POOL_IPS"}
+           if k not in ("PALLAS_AXON_POOL_IPS", "LRM_PALLAS_DIRS")}
     env.update({"_LRM_BENCH_CPU": "1", "JAX_PLATFORMS": "cpu",
                 "NREADS": os.environ.get("NREADS", "2048"),
                 "PASSES": os.environ.get("PASSES", "2")})
@@ -97,7 +101,9 @@ def main():
     # lands; explicit NREADS/PASSES env overrides are respected.
     if probe_d2h is not None and probe_d2h > 10:
         if "NREADS" not in os.environ:
-            N_READS = min(N_READS, 4096)
+            # scale the shrink by read length (a 10 kb run moves 10x the
+            # bases per read)
+            N_READS = min(N_READS, max(512, 4096 * 1000 // READ_LEN))
         if "PASSES" not in os.environ:
             PASSES = min(PASSES, 2)
         log(f"degraded link (D2H {probe_d2h:.0f}s): reduced workload "
@@ -242,6 +248,8 @@ def main():
         "unit": "reads/s",
         "vs_baseline": round(rps / o_rps, 2),
     }
+    if READ_LEN != 1000:        # long-read rows are self-describing
+        row.update(read_len=READ_LEN, sensitivity=round(valid / total, 4))
     if backend_note == "cpu-fallback":
         row["note"] = ("TPU tunnel unreachable; CPU-backend fallback -- "
                        "NOT comparable to TPU rows")

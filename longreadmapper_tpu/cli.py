@@ -29,7 +29,11 @@ def main(argv=None) -> int:
 
     ia = sub.add_parser("index", help="build the reference index (accidx)")
     ia.add_argument("fasta")
-    ia.add_argument("--hlen", type=int, default=12)
+    ia.add_argument("--hlen", type=int, default=0,
+                    help="lchash k-mer length; 0 = auto (14 for any "
+                         "genome >= 1 Mb, 12 for toy fixtures — "
+                         "utils/config.auto_hlen, docs/TUNING.md). The "
+                         "reference hard-codes 12 (asindex.c:142)")
     ia.add_argument("--o-ratio", type=int, default=32)
     ia.add_argument("--n-seed", type=int, default=0)
     ia.add_argument("--host-only", action="store_true",
@@ -104,8 +108,20 @@ def main(argv=None) -> int:
     args = ap.parse_args(argv)
 
     if args.cmd == "index":
+        import os
+
         from .runtime.accidx import build_index
-        p = Params(hlen=args.hlen, o_ratio=args.o_ratio, n_seed=args.n_seed)
+        from .utils.config import auto_hlen
+        hlen = args.hlen
+        if hlen == 0:
+            # the .cat is 2*genome+1; approximate from the FASTA size
+            # (headers/newlines inflate it slightly — irrelevant at the
+            # 2 Mb rule threshold)
+            hlen = auto_hlen(2 * os.path.getsize(args.fasta))
+            if not args.quiet:
+                print(f"[index] auto hlen = {hlen} (docs/TUNING.md)",
+                      file=sys.stderr)
+        p = Params(hlen=hlen, o_ratio=args.o_ratio, n_seed=args.n_seed)
         build_index(args.fasta, p, use_device=not args.host_only,
                     verbose=not args.quiet, devidx=not args.no_devidx,
                     ram_use=int(args.ram_gb * (1 << 30)))

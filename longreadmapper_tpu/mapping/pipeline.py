@@ -108,6 +108,10 @@ class MapperConfig:
         return max(512, (self.B * self.phases * self.max_seeds) // 16)
     gact_tile: int = 512     # row-tile for the checkpointed long-read path
     gact_threshold: int = 2048   # buckets longer than this use ops/gact
+    # run-buffer budget multiplier for the gact walks: the saturation
+    # retry tier (models/mapper._retry_saturation) re-runs a flagged
+    # chunk through a scale-4 step instead of keeping corrupt CIGARs
+    gact_runs_scale: int = 1
     ops_head_cols: int = 128     # eagerly-fetched CIGAR run bytes per read
     # short-read band DP via the Pallas band-on-sublanes kernel
     # (ops/band_pallas) instead of the XLA scan; bit-identical outputs
@@ -125,8 +129,12 @@ class MapperConfig:
 
     @property
     def tb_entry16(self) -> bool:
-        """True when the CIGAR runs in the blob are 16-bit entries."""
-        return self.tb_cols and not self.use_gact and not self.pallas_dirs
+        """True when the CIGAR runs in the blob are 16-bit entries (both
+        column-consuming walks: device_traceback_c on the short path,
+        gact_traceback_c on the tiled long-read path)."""
+        if self.use_gact:
+            return self.tb_cols
+        return self.tb_cols and not self.pallas_dirs
     # slim HBM index layout (IndexMeta.slim): sa_ctx carries SA only and
     # the 16-base verify window is recomputed from a text_pair gather
     slim: bool = False
@@ -817,11 +825,32 @@ def make_map_step(cfg: MapperConfig):
             # O(L * band) (ops/gact.py); same run-byte format as the
             # short path, so everything downstream is shared
             from ..ops.gact import (gact_forward, gact_runs_cols,
+                                    gact_runs_cols_c, gact_traceback_c,
                                     gact_traceback_v)
             T = cfg.gact_tile
             ckpt, wcol = gact_forward(q, t, T, W, band)
-            run_bytes, run_sat = gact_traceback_v(q, t, ckpt, lens,
-                                                  T, W, band)
+            # dead lanes (unmapped / over-limit — SAM CIGAR '*' either
+            # way) skip their walk via masked lens: they would otherwise
+            # pace every tile's while_loop to its indel bound
+            ed_pre = wcol[lens, jnp.arange(B)].astype(jnp.int32)
+            alive = found & (ed_pre <= limits.astype(jnp.int32))
+            lens_tb = jnp.where(alive, lens.astype(jnp.int32), 0)
+            if cfg.tb_cols:
+                # per-INDEL column walk (ops/gact.gact_traceback_c): a
+                # subs-only lane crosses a tile in ONE iteration instead
+                # of T/16 word fragments; 16-bit entries (counts <= T)
+                run_units, run_sat = gact_traceback_c(
+                    q, t, ckpt, lens_tb, T, W, band,
+                    scale=cfg.gact_runs_scale)
+                K = 2 * run_units.shape[1]      # bytes after bitcast
+            else:
+                run_bytes, run_sat = gact_traceback_v(
+                    q, t, ckpt, lens_tb, T, W, band,
+                    scale=cfg.gact_runs_scale)
+                # real (non-pad) run bytes for an in-limit read: word
+                # fragments (L/16 + one boundary split per tile + one per
+                # edit) + one edit byte per edit, edits <= ed <= W
+                K = (L // 16 + L // T + cfg.gact_runs_scale * 4 * W + 16)
             # a saturated shared run buffer can corrupt ANY lane's CIGAR
             # (ops/gact.gact_traceback_v) — surface it in the per-read
             # flag word so no silent truncation path remains.  DISTINCT
@@ -830,10 +859,6 @@ def make_map_step(cfg: MapperConfig):
             # on saturation (bit 1), only on vote overflow (bit 0).
             overflow = overflow.astype(jnp.int32) | \
                 jnp.where(run_sat, jnp.int32(2), jnp.int32(0))
-            # real (non-pad) run bytes for an in-limit read: word
-            # fragments (L/16 + one boundary split per tile + one per
-            # edit) + one edit byte per edit, edits <= ed <= W
-            K = L // 16 + L // T + 4 * W + 16
         else:
             from ..ops.wavefront import banded_nw_dirs_v
             from ..ops.traceback import (device_traceback_c,
@@ -917,7 +942,7 @@ def make_map_step(cfg: MapperConfig):
         # path ships all K eagerly (the compute per chunk dwarfs the D2H);
         # short reads ship a small head + lazy tail
         head = K if cfg.use_gact else min(cfg.ops_head_cols, K)
-        if cfg.tb_entry16:
+        if cfg.tb_entry16 and not cfg.use_gact:
             # entries are one per M-run/indel (not one per 16-row word):
             # a typical read needs 1-2, a 15-indel read 31 — so the eager
             # head can be 4x smaller than the byte format's, cutting the

@@ -149,11 +149,14 @@ class TPUMapper:
         self._steps = {}
         self._retry_steps = {}
         self._raw_steps = {}
+        self._sat_steps = {}
         # reads whose per-phase votes exceeded the compaction budget (tail
         # votes dropped — raise Params.vote_budget for exact handling)
         self.overflow_reads = 0
         # reads re-run through the exact-slots tier (_retry_overflow)
         self.retried_reads = 0
+        # gact chunks re-walked through the 4x run buffer (_retry_saturation)
+        self.retried_sat_chunks = 0
         # global mapped-read count accumulated from the device-side
         # collective counter (mesh mode only; single mode counts on host)
         self.valid_global = 0
@@ -243,6 +246,21 @@ class TPUMapper:
             cfg_r = replace(cfg, B=min(cfg.B, 256), exact_slots=True)
             self._retry_steps[L] = (cfg_r, make_map_step(cfg_r))
         return self._retry_steps[L]
+
+    def _sat_step_for(self, L: int):
+        """4x-run-buffer gact step for saturation-flagged chunks (overflow
+        bit 1): the shared CIGAR run buffer sized by ops/gact.gact_runs_cols*
+        can in principle be overrun by adversarial clustered-indel batches;
+        this tier re-walks such a chunk with 4x the edit-row budget instead
+        of leaving corrupt CIGARs.  Compiled lazily — realistic batches
+        never saturate, so the extra compile is paid only on first flag."""
+        if L not in self._sat_steps:
+            from dataclasses import replace
+            cfg, _ = self._step_for(L)
+            assert cfg.use_gact
+            cfg_s = replace(cfg, gact_runs_scale=4)
+            self._sat_steps[L] = (cfg_s, make_map_step(cfg_s))
+        return self._sat_steps[L]
 
     def warmup(self, lengths: Sequence[int] = (256, 1024),
                concurrent: bool = True) -> float:
@@ -462,9 +480,42 @@ class TPUMapper:
                                                  cfg.tb_entry16):
                 out["ops"] = np.concatenate(
                     [out["ops"], jax.device_get(tail)], axis=1)
+            out = self._retry_saturation(cfg, reads, out)
             out = self._retry_overflow(cfg, reads, out)
             fetched.append((cfg, reads, lens, out))
         return fetched
+
+    def _retry_saturation(self, cfg: MapperConfig, reads, out):
+        """Re-walk a gact chunk whose shared run buffer saturated
+        (overflow bit 1, ops/gact.gact_traceback_*) through the 4x-buffer
+        tier (_sat_step_for).  Saturation is a chunk-level flag — the
+        clamped last buffer row may hold any lane's runs — so the whole
+        chunk re-runs and replaces its meta/ops wholesale.  If even the
+        4x budget saturates (adversarial beyond docs/TUNING.md's stated
+        bound) the flag survives in the retried meta and surfaces via
+        overflow_reads; no silent-corrupt-CIGAR path remains."""
+        if self.mesh is not None or not cfg.use_gact:
+            return out
+        import jax
+        meta = np.asarray(out["meta"])
+        n = len(reads)
+        if not (meta[:n, cfg.meta_words - 1] & 2).any():
+            return out
+        cfg_s, step_s = self._sat_step_for(cfg.L)
+        codes, codes_rc, lens_r, limits = self._pack_reads(
+            reads, cfg.L, cfg_s.B)
+        dc, drc, dl, dlim = jax.device_put((codes, codes_rc, lens_r,
+                                            limits))
+        o = step_s(self.idx, dc, drc, dl, dlim)
+        tail_s = o.pop("ops_tail")
+        blob = np.asarray(o["blob"])
+        mb = 4 * cfg_s.meta_words
+        meta_s = np.ascontiguousarray(blob[:, :mb]).view(np.int32)
+        ops_s = blob[:, mb:]
+        if ops_s.shape[1] and _tail_needed(ops_s, cfg_s.tb_entry16):
+            ops_s = np.concatenate([ops_s, np.asarray(tail_s)], axis=1)
+        self.retried_sat_chunks += 1
+        return dict(out, meta=meta_s, ops=ops_s)
 
     def _retry_overflow(self, cfg: MapperConfig, reads, out):
         """Re-map overflow-flagged reads through the exact-slots tier.

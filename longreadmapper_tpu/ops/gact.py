@@ -136,7 +136,7 @@ def gact_forward(q, t, T: int, W: int, band: int):
     return ckpt, wcol
 
 
-def gact_runs_cols(L: int, T: int, W: int) -> int:
+def gact_runs_cols(L: int, T: int, W: int, scale: int = 1) -> int:
     """Run-byte columns emitted by gact_traceback_v.
 
     Iterations (one buffer row each) = per-tile max over lanes of
@@ -145,12 +145,17 @@ def gact_runs_cols(L: int, T: int, W: int) -> int:
     different lanes, so budget 4W of edit rows plus per-tile slack; the
     walk clamps its write pointer at this cap (run rows past it would be
     dropped — unreachable for realistic batches, where per-tile edit
-    maxima track the error rate)."""
-    return 2 * (L // 16 + 4 * W + 4 * (L // T) + 16)
+    maxima track the error rate).
+
+    `scale` multiplies the edit-row budget — the saturation retry tier
+    (models/mapper._retry_saturation) re-runs a flagged chunk through a
+    scale-4 step instead of keeping corrupt CIGARs."""
+    return 2 * (L // 16 + scale * 4 * W + 4 * (L // T) + 16)
 
 
-@partial(jax.jit, static_argnames=("T", "W", "band"))
-def gact_traceback_v(q, t, ckpt, lens, T: int, W: int, band: int):
+@partial(jax.jit, static_argnames=("T", "W", "band", "scale"))
+def gact_traceback_v(q, t, ckpt, lens, T: int, W: int, band: int,
+                     scale: int = 1):
     """Run-consuming rematerialized walk (the long-read twin of
     ops/traceback.device_traceback_v).
 
@@ -183,7 +188,7 @@ def gact_traceback_v(q, t, ckpt, lens, T: int, W: int, band: int):
                             vertical=True)
     bidx = jnp.arange(B, dtype=dt)
     lens32 = lens.astype(dt)
-    n_rows = gact_runs_cols(L, T, W) // 2
+    n_rows = gact_runs_cols(L, T, W, scale) // 2
     tile_bound = G + 2 * W + 4
 
     def tile(carry, kk):
@@ -247,6 +252,161 @@ def gact_traceback_v(q, t, ckpt, lens, T: int, W: int, band: int):
 
     zb8 = (lens32 * 0).astype(jnp.int8)
     buf0 = jnp.full((n_rows, B, 2), OP_PAD, jnp.int8) + zb8[None, :, None]
+    nsat0 = jnp.sum(lens32) * 0
+    carry0 = (lens32, lens32, lens32 <= 0, jnp.int32(0), nsat0, buf0)
+    (_, _, _, _, nsat, buf), _ = lax.scan(tile, carry0,
+                                          jnp.arange(K, dtype=dt))
+    return jnp.transpose(buf, (1, 0, 2)).reshape(B, -1), nsat >= 2
+
+
+def gact_runs_cols_c(L: int, T: int, W: int, scale: int = 1) -> int:
+    """int16 run-entry columns emitted by gact_traceback_c.
+
+    Iterations (one buffer row each) = per-tile max over lanes of
+    (indels in that tile + 1 boundary M-run), summed over tiles.  A
+    single lane has <= ed <= W indels total; budget 2W of indel rows
+    (the per-tile max can land on different lanes) plus one row per
+    tile plus slack, with the shared-pointer saturation flag guarding
+    the adversarial tail exactly as gact_runs_cols does; `scale` is the
+    saturation retry tier's budget multiplier."""
+    return 2 * (scale * 2 * W + 2 * (L // T) + 16)
+
+
+@partial(jax.jit, static_argnames=("T", "W", "band", "scale"))
+def gact_traceback_c(q, t, ckpt, lens, T: int, W: int, band: int,
+                     scale: int = 1):
+    """Column-consuming rematerialized walk — the long-read twin of
+    ops/traceback.device_traceback_c (one iteration per INDEL).
+
+    Tiles replay newest-first like gact_traceback_v; each recomputes its
+    vertically packed direction words from its checkpoint, then builds a
+    per-(lane, band-column) GROUP BITMAP (bit g set iff word g at that
+    column has any non-M pair, one vectorized pass over the tile's
+    (T/16, B, band) words — resident from the scan, ~0.1 ms) and walks
+    whole M-runs per iteration: an M-run stays at fixed band column
+    d = j - i + W, so the bitmap + two 1-element-per-lane gathers find
+    the next indel *row* directly.  A substitutions-only lane crosses a
+    whole tile in ONE iteration instead of T/16 word-fragments — at
+    10 kb / T=512 that is 20 iterations per read instead of 640+, and
+    sequential iterations cost ~6.5 us each on TPU regardless of body.
+
+    Returns (runs, saturated): runs (B, gact_runs_cols_c(L, T, W)) int16
+    entries (count << 2 | op) in reverse path order with pad gaps
+    between tiles — device_traceback_c's entry16 format, so the host RLE
+    is shared.  `saturated` as in gact_traceback_v: True when the shared
+    write pointer clobbered the clamped last row; callers OR it into the
+    per-read overflow flag (mapping/pipeline.py gact branch).
+
+    Dead lanes (unmapped / over-limit) must be masked to lens 0 by the
+    caller — they would otherwise pace every tile's while_loop to its
+    W-indel bound.  Counts fit int16: mrun <= T and the row-0 D-run
+    < band - W (at row 0, d = j + W < band), both < 2^13 at every
+    production shape up to ~130 kb reads; asserted.
+    """
+    B, L = q.shape
+    K = L // T
+    G = T // 16
+    # (count << 2) must fit int16: counts are mrun <= T and drun < band - W
+    assert T <= 8191 and band - W <= 8191, (T, band, W)
+    dt = jnp.int32
+    tpad = jnp.pad(t.astype(jnp.int8), ((0, 0), (W + 1, band)),
+                   constant_values=5)
+    row_step = _dp_row_step(q, tpad, L, W, band, with_dirs=True,
+                            vertical=True)
+    bidx = jnp.arange(B, dtype=dt)
+    lens32 = lens.astype(dt)
+    n_rows = gact_runs_cols_c(L, T, W, scale) // 2
+    tile_bound = W + 4                 # iterations = indels in tile + slack
+    nbm = -(-G // 32)                  # bitmap int32 words per (b, d)
+
+    def tile(carry, kk):
+        i, j, done, ptr, nsat, buf = carry
+        k = K - 1 - kk
+        lo = k * T
+
+        def group(h, gg):
+            return row_step(h, k * T + 1 + gg * 16)
+
+        _, vdirs = lax.scan(group, ckpt[k],
+                            jnp.arange(G, dtype=dt))       # (G, B, band)
+        Vf = vdirs.reshape(-1)
+        # per-(b, d) bitmap over this tile's G words (device_traceback_c's
+        # fallback pass, cheap here: the tile volume is already resident)
+        gr = jnp.arange(G, dtype=dt)
+        nz = (vdirs != 0).astype(jnp.uint32) << (gr & 31)[:, None, None]
+        nmf = [jnp.sum(jnp.where(((gr >> 5) == w)[:, None, None], nz, 0),
+                       axis=0).reshape(-1).astype(dt) for w in range(nbm)]
+
+        def _word_at(g, d):
+            return jnp.take(Vf, jnp.clip((g * B + bidx) * band + d,
+                                         0, G * B * band - 1))
+
+        def wstep(state):
+            it, i, j, done, ptr, nsat, buf = state
+            in_tile = i > lo
+            active = ~done & (in_tile | ((k == 0) & (j > 0)))
+            d = jnp.clip(j - i + W, 0, band - 1)
+            ii = jnp.clip(i - 1 - lo, 0, T - 1)        # row within tile
+            g_cur, r = ii >> 4, ii & 15
+            w_cur = _word_at(g_cur, d).astype(jnp.uint32)
+            sh = (2 * (15 - r)).astype(jnp.uint32)
+            wm_cur = (w_cur << sh) >> sh               # pairs above i off
+            in_cur = (wm_cur != 0) & in_tile
+            # highest group strictly below g_cur with any non-M
+            bmidx = jnp.clip(bidx * band + d, 0, B * band - 1)
+            g2 = jnp.full((B,), -1, dt)
+            for w in range(nbm - 1, -1, -1):
+                bw = jnp.take(nmf[w], bmidx).astype(jnp.uint32)
+                lim = jnp.clip(g_cur - (w << 5), 0, 32)
+                keep = jnp.where(lim >= 32, jnp.uint32(0xFFFFFFFF),
+                                 (jnp.uint32(1) << jnp.minimum(
+                                     lim, 31).astype(jnp.uint32)) - 1)
+                bwk = bw & keep
+                hi = 31 - lax.clz(bwk.astype(dt))
+                g2 = jnp.where((g2 < 0) & (bwk != 0), (w << 5) + hi, g2)
+            has_below = (g2 >= 0) & in_tile
+            any_nm = active & in_tile & (in_cur | has_below)
+            gstar = jnp.where(in_cur, g_cur, jnp.maximum(g2, 0))
+            w2 = _word_at(gstar, d).astype(jnp.uint32)
+            wsel = jnp.where(in_cur, wm_cur, w2)
+            pstar = jnp.maximum(15 - (lax.clz(wsel.astype(dt)) >> 1), 0)
+            # M-run floor: the indel row, else the tile entry (row 0 in
+            # tile 0 — the walk then owes only the synthetic all-D row)
+            floor_row = jnp.where(any_nm, lo + gstar * 16 + pstar + 1,
+                                  jnp.where(k == 0, 0, lo))
+            mrun = jnp.where(active & in_tile, i - floor_row, 0)
+            i2 = i - mrun
+            j2 = j - mrun
+            op = (wsel >> (2 * pstar).astype(jnp.uint32)).astype(dt) & 3
+            take_e = any_nm & ~((i2 == 0) & (j2 == 0))
+            i3 = jnp.where(take_e & (op == 1), i2 - 1, i2)
+            j3 = jnp.where(take_e & (op == 2), j2 - 1, j2)
+            drun = jnp.where(active & ~any_nm & (i2 == 0),
+                             jnp.maximum(j2, 0), 0)
+            j4 = jnp.where(drun > 0, 0, j3)
+            done2 = done | ((i3 == 0) & (j4 == 0))
+            e1 = jnp.where(mrun > 0, (mrun << 2) | 0, jnp.int32(OP_PAD))
+            e2 = jnp.where(take_e, 4 | op,
+                           jnp.where(drun > 0, (drun << 2) | 2,
+                                     jnp.int32(OP_PAD)))
+            out = jnp.stack([e1, e2], axis=1).astype(jnp.int16)
+            buf = lax.dynamic_update_slice(
+                buf, out[None], (ptr, jnp.int32(0), jnp.int32(0)))
+            nsat = nsat + (ptr == n_rows - 1).astype(dt)
+            return (it + 1, i3, j4, done2,
+                    jnp.minimum(ptr + 1, n_rows - 1), nsat, buf)
+
+        def wcond(state):
+            it, i, j, done, ptr, nsat, buf = state
+            alive = ~done & ((i > lo) | ((k == 0) & (j > 0)))
+            return (it < tile_bound) & jnp.any(alive)
+
+        _, i, j, done, ptr, nsat, buf = lax.while_loop(
+            wcond, wstep, (jnp.int32(0), i, j, done, ptr, nsat, buf))
+        return (i, j, done, ptr, nsat, buf), None
+
+    zb16 = (lens32 * 0).astype(jnp.int16)
+    buf0 = jnp.full((n_rows, B, 2), OP_PAD, jnp.int16) + zb16[None, :, None]
     nsat0 = jnp.sum(lens32) * 0
     carry0 = (lens32, lens32, lens32 <= 0, jnp.int32(0), nsat0, buf0)
     (_, _, _, _, nsat, buf), _ = lax.scan(tile, carry0,

