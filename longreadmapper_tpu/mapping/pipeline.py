@@ -277,6 +277,26 @@ class MapperConfig:
     def band(self) -> int:
         return -(-(2 * self.W + 1) // 128) * 128
 
+    # half-band first pass for the gact (long-read) buckets: DP cells
+    # scale with the band, and the limit-derived W (2*err*L) is ~3x the
+    # TYPICAL edit distance, so the primary step runs at W/2 and flags
+    # the rare ed >= W/2 lanes for a full-band retry (overflow bit 2 ->
+    # models/mapper._retry_overflow splices exact rows back).
+    # Exactness: a banded value <= W'-1 is achieved by a path deviating
+    # <= W'-1 columns, which fits strictly inside ANY band >= W' — so
+    # every H value (and every stored direction the walk can visit) of a
+    # lane with ed < W' is identical between the W' and W bands; only
+    # ed' >= W' lanes (where ed' >= true ed) need the retry.
+    half_band: bool = False
+
+    @property
+    def gact_W(self) -> int:
+        return max(64, self.W // 2) if self.half_band else self.W
+
+    @property
+    def gact_band(self) -> int:
+        return -(-(2 * self.gact_W + 1) // 128) * 128
+
     @property
     def meta_words(self) -> int:
         """int32 columns in the per-read meta row: positions (best, off)
@@ -828,29 +848,40 @@ def make_map_step(cfg: MapperConfig):
                                     gact_runs_cols_c, gact_traceback_c,
                                     gact_traceback_v)
             T = cfg.gact_tile
-            ckpt, wcol = gact_forward(q, t, T, W, band)
+            Wg, bandg = cfg.gact_W, cfg.gact_band
+            ckpt, wcol = gact_forward(q, t, T, Wg, bandg)
+            ed_pre = wcol[lens, jnp.arange(B)].astype(jnp.int32)
+            # half-band first pass (cfg.half_band): values < Wg are exact
+            # (see MapperConfig.half_band); ed' >= Wg lanes whose limit
+            # the half band cannot certify are flagged (bit 2) for the
+            # mapper's full-band retry splice and skip their walk here.
+            if cfg.half_band:
+                band_short = found & (ed_pre >= jnp.int32(Wg)) & \
+                    (jnp.int32(Wg) <= limits.astype(jnp.int32))
+            else:
+                band_short = jnp.zeros_like(found)
             # dead lanes (unmapped / over-limit — SAM CIGAR '*' either
             # way) skip their walk via masked lens: they would otherwise
             # pace every tile's while_loop to its indel bound
-            ed_pre = wcol[lens, jnp.arange(B)].astype(jnp.int32)
-            alive = found & (ed_pre <= limits.astype(jnp.int32))
+            alive = found & (ed_pre <= limits.astype(jnp.int32)) & \
+                ~band_short
             lens_tb = jnp.where(alive, lens.astype(jnp.int32), 0)
             if cfg.tb_cols:
                 # per-INDEL column walk (ops/gact.gact_traceback_c): a
                 # subs-only lane crosses a tile in ONE iteration instead
                 # of T/16 word fragments; 16-bit entries (counts <= T)
                 run_units, run_sat = gact_traceback_c(
-                    q, t, ckpt, lens_tb, T, W, band,
+                    q, t, ckpt, lens_tb, T, Wg, bandg,
                     scale=cfg.gact_runs_scale)
                 K = 2 * run_units.shape[1]      # bytes after bitcast
             else:
                 run_bytes, run_sat = gact_traceback_v(
-                    q, t, ckpt, lens_tb, T, W, band,
+                    q, t, ckpt, lens_tb, T, Wg, bandg,
                     scale=cfg.gact_runs_scale)
                 # real (non-pad) run bytes for an in-limit read: word
                 # fragments (L/16 + one boundary split per tile + one per
-                # edit) + one edit byte per edit, edits <= ed <= W
-                K = (L // 16 + L // T + cfg.gact_runs_scale * 4 * W + 16)
+                # edit) + one edit byte per edit, edits <= ed <= Wg
+                K = (L // 16 + L // T + cfg.gact_runs_scale * 4 * Wg + 16)
             # a saturated shared run buffer can corrupt ANY lane's CIGAR
             # (ops/gact.gact_traceback_v) — surface it in the per-read
             # flag word so no silent truncation path remains.  DISTINCT
@@ -858,7 +889,8 @@ def make_map_step(cfg: MapperConfig):
             # cannot grow the run buffer, so the retry tier must not fire
             # on saturation (bit 1), only on vote overflow (bit 0).
             overflow = overflow.astype(jnp.int32) | \
-                jnp.where(run_sat, jnp.int32(2), jnp.int32(0))
+                jnp.where(run_sat, jnp.int32(2), jnp.int32(0)) | \
+                jnp.where(band_short, jnp.int32(4), jnp.int32(0))
         else:
             from ..ops.wavefront import banded_nw_dirs_v
             from ..ops.traceback import (device_traceback_c,
@@ -900,6 +932,10 @@ def make_map_step(cfg: MapperConfig):
         ed_raw = wcol[lens, jnp.arange(B)].astype(jnp.int32)
         limit = limits.astype(jnp.int32)
         ed = jnp.where(ed_raw <= limit, ed_raw, -1)
+        if cfg.use_gact and cfg.half_band:
+            # a bit-2 lane's ed' is only an upper bound — never report it
+            # (the retry splice replaces the whole row with exact values)
+            ed = jnp.where(band_short, -1, ed)
 
         # Host-link layout: remote-attached TPUs pay per-array round trips
         # and ~MB/s-scale D2H, so everything leaves the device as exactly

@@ -201,19 +201,25 @@ class TPUMapper:
 
     def _step_for(self, L: int):
         if L not in self._steps:
+            import os
+            from dataclasses import replace
             cfg = MapperConfig.from_params(self.params, self.meta,
                                            self._b_for(L), L)
             if self.mesh is not None:
-                from dataclasses import replace
-
                 from ..parallel.dist import make_sharded_map_step
 
                 # the overflow-retry tier is a host-local affair; mesh
-                # runs stay single-tier on the full budget
+                # runs stay single-tier on the full budget and band
                 cfg = replace(cfg, exact_slots=True)
                 step = make_sharded_map_step(cfg, self.mesh,
                                              shard_tables=self.shard_tables)
             else:
+                if cfg.use_gact and \
+                        os.environ.get("LRM_HALF_BAND", "1") != "0":
+                    # long-read primary pass at half band: DP cells halve;
+                    # rare ed >= W/2 lanes re-run through the full-band
+                    # retry tier (MapperConfig.half_band, overflow bit 2)
+                    cfg = replace(cfg, half_band=True)
                 step = make_map_step(cfg)
             self._steps[L] = (cfg, step)
         return self._steps[L]
@@ -243,7 +249,10 @@ class TPUMapper:
         if L not in self._retry_steps:
             from dataclasses import replace
             cfg, _ = self._step_for(L)
-            cfg_r = replace(cfg, B=min(cfg.B, 256), exact_slots=True)
+            # full band as well as full vote budget: the retry tier is
+            # the exact-everything tier (half-band bit-2 lanes land here)
+            cfg_r = replace(cfg, B=min(cfg.B, 256), exact_slots=True,
+                            half_band=False)
             self._retry_steps[L] = (cfg_r, make_map_step(cfg_r))
         return self._retry_steps[L]
 
@@ -301,7 +310,8 @@ class TPUMapper:
                                sds((cfg_r.B,), jnp.int32),
                                sds((cfg_r.B,), jnp.int32))
             if self.mesh is None and not cfg.exact_slots \
-                    and cfg.vote_slots < cfg.vote_slots_exact:
+                    and (cfg.vote_slots < cfg.vote_slots_exact
+                         or cfg.half_band):
                 cfg_t, step_t = self._retry_step_for(L)
                 yield step_t, _enc_args(cfg_t)
 
@@ -532,10 +542,12 @@ class TPUMapper:
 
         meta = np.asarray(out["meta"])
         n = len(reads)
-        # bit 0 = vote overflow (more slots fixes it); bit 1 = gact
-        # run-buffer saturation (a vote-slot retry CANNOT fix it — the
-        # flag survives to the caller via overflow_reads instead)
-        flagged = np.flatnonzero(meta[:n, cfg.meta_words - 1] & 1)
+        # bit 0 = vote overflow (more slots fixes it); bit 2 = half-band
+        # ed >= W/2 (full band fixes it) — both re-run through the
+        # exact-everything tier.  bit 1 = gact run-buffer saturation
+        # (handled chunk-wise by _retry_saturation; a vote-slot retry
+        # CANNOT fix it — the flag survives via overflow_reads instead)
+        flagged = np.flatnonzero(meta[:n, cfg.meta_words - 1] & 5)
         if flagged.size == 0:
             return out
         cfg_r, step_r = self._retry_step_for(cfg.L)

@@ -50,8 +50,12 @@ def main() -> int:
     a = ap.parse_args()
 
     import jax
-    jax.config.update("jax_platforms",
-                      os.environ.get("JAX_PLATFORMS", "cpu"))
+    if os.environ.get("LRM_SWEEP_TPU") != "1":
+        # sensitivity is backend-independent; default to the CPU backend
+        # so the sweep can run while the tunnel serves captures.
+        # LRM_SWEEP_TPU=1 runs on the real chip (repeat-genome TPU
+        # throughput row — VERDICT r4 weak #4)
+        jax.config.update("jax_platforms", "cpu")
 
     from gen_repeat_genome import build_repeat_genome
     from longreadmapper_tpu.formats.catmeta import (create_meta, load_cat,

@@ -69,4 +69,9 @@ run bench_pallas 2400 env LRM_PALLAS_DIRS=1 PASSES=3 python bench.py
 # 6. forced 64-slot budget at hlen 14 (round-4 retry; healthy link only)
 run bench_v64 2400 env LRM_VOTE_SLOTS=64 PASSES=3 python bench.py
 
+# 7. eager CIGAR head 64 -> 16 entries: the pass's dominant D2H blob is
+# meta+head (328 KB/chunk at 64); a subs-only 1 kb read needs ~2 entries
+# and the lazy tail covers the rest — decides the LRM_OPS_HEAD default
+run bench_head16 2400 env LRM_OPS_HEAD=16 PASSES=3 python bench.py
+
 echo "=== runlist r5 done $(date) ===" >> "$LOG"

@@ -350,3 +350,62 @@ def test_gact_traceback_c_saturation_flagged():
     _, sat = gact_traceback_c(jnp.asarray(q), jnp.asarray(t), ckpt,
                               jnp.asarray(lens), T, W, band)
     assert bool(sat)
+
+
+def test_gact_half_band_retry_matches_full(tmp_path, monkeypatch):
+    """The long-read primary pass runs at W/2 (MapperConfig.half_band);
+    reads with ed >= W/2 must flag bit 2, re-run through the full-band
+    retry tier, and end IDENTICAL to an LRM_HALF_BAND=0 mapper.  Reads at
+    ~8% error straddle the W/2 threshold of the 4096 bucket (Wg=204,
+    ed ~ 208 +- 14), so both the fast path and the splice are exercised
+    in one chunk."""
+    from longreadmapper_tpu.formats.catmeta import create_meta, load_cat, load_mta
+    from longreadmapper_tpu.index.device import build_device_index
+    from longreadmapper_tpu.index.fmi import FMIndex, encode_bytes
+    from longreadmapper_tpu.index.lchash import lc_build_from_sa
+    from longreadmapper_tpu.index.sa import sa_build
+    from longreadmapper_tpu.models.mapper import TPUMapper
+    from longreadmapper_tpu.utils.config import Params
+
+    rng = np.random.default_rng(31)
+    genome = "".join("ACGT"[c] for c in rng.integers(0, 4, 60000))
+    fa = str(tmp_path / "g.fa")
+    with open(fa, "w") as f:
+        f.write(">c1\n")
+        for i in range(0, len(genome), 70):
+            f.write(genome[i:i + 70] + "\n")
+    params = Params(hlen=6)
+    mta = create_meta(fa, n_seed=0)
+    prefix = fa + ".cat"
+    sa = sa_build(prefix)
+    fmi = FMIndex.build(prefix, sa=sa)
+    kl = lc_build_from_sa(fmi.sa, encode_bytes(load_cat(prefix)), 6)
+    idx, meta = build_device_index(fmi, kl, 6, load_cat(prefix),
+                                   load_mta(fa + ".mta"))
+
+    reads = []
+    for i in range(6):
+        p = int(rng.integers(0, len(genome) - 2600))
+        ch = np.frombuffer(genome[p:p + 2600].encode(), np.uint8).copy()
+        m = rng.random(2600) < 0.08
+        ch[m] = np.frombuffer(b"ACGT", np.uint8)[
+            rng.integers(0, 4, int(m.sum()))]
+        reads.append((f"h{i}", ch.tobytes().decode(), None))
+
+    mta_l = load_mta(fa + ".mta")
+    m_half = TPUMapper(idx, meta, mta_l, params, chunk_b=6)
+    cfg, _ = m_half._step_for(4096)
+    assert cfg.use_gact and cfg.half_band and cfg.gact_W == cfg.W // 2
+    recs_half = m_half.map_chunk(reads)
+    assert m_half.retried_reads > 0          # some lane crossed W/2
+    assert m_half.overflow_reads == 0        # ...and the splice cleared it
+
+    monkeypatch.setenv("LRM_HALF_BAND", "0")
+    m_full = TPUMapper(idx, meta, mta_l, params, chunk_b=6)
+    cfg_f, _ = m_full._step_for(4096)
+    assert not cfg_f.half_band and cfg_f.gact_W == cfg_f.W
+    recs_full = m_full.map_chunk(reads)
+    for rh, rf in zip(recs_half, recs_full):
+        assert rh.valid == rf.valid
+        assert rh.ed == rf.ed and rh.off == rf.off
+        assert rh.cigar == rf.cigar
