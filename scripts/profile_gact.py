@@ -66,9 +66,13 @@ def main():
     params = Params(hlen=HLEN)
     cfg = MapperConfig.from_params(params, meta, B=B, L=L)
     assert cfg.use_gact
-    T, W, band = cfg.gact_tile, cfg.W, cfg.band
+    if os.environ.get("LRM_HALF_BAND", "1") != "0":
+        from dataclasses import replace
+        cfg = replace(cfg, half_band=True)     # the production config
+    T, W, band = cfg.gact_tile, cfg.gact_W, cfg.gact_band
     print(f"cfg: B={B} L={L} T={T} W={W} band={band} "
-          f"vote_slots={cfg.vote_slots}", flush=True)
+          f"half_band={cfg.half_band} vote_slots={cfg.vote_slots}",
+          flush=True)
 
     rng = np.random.default_rng(7)
     q = np.full((B, L), 4, np.int8)
