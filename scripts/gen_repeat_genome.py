@@ -34,6 +34,23 @@ def _rand_seq(rng, n) -> np.ndarray:
     return _B[rng.integers(0, 4, n)]
 
 
+def _gc_background(rng, n: int, gc_mean: float = 0.41,
+                   block: int = 100_000) -> np.ndarray:
+    """Isochore-like background: GC content varies per ~100 kb block
+    around the human-like mean (real genomes are NOT 25/25/25/25 —
+    hg38 is ~41% GC with 30-60% isochore blocks).  Skewed composition
+    stresses the lchash load balance (AT-rich k-mers crowd their table
+    rows) and the C-table/backward-search paths in a way uniform
+    fixtures never do (VERDICT r4 missing #6)."""
+    out = np.empty(n, np.uint8)
+    for s0 in range(0, n, block):
+        m = min(block, n - s0)
+        gc = float(np.clip(rng.normal(gc_mean, 0.08), 0.25, 0.62))
+        pr = np.array([(1 - gc) / 2, gc / 2, gc / 2, (1 - gc) / 2])
+        out[s0:s0 + m] = _B[rng.choice(4, size=m, p=pr)]
+    return out
+
+
 def _diverge(rng, seq: np.ndarray, sub: float, indel: float) -> np.ndarray:
     """Substitute/insert/delete per-base — one diverged repeat copy."""
     s = seq.copy()
@@ -49,11 +66,13 @@ def _diverge(rng, seq: np.ndarray, sub: float, indel: float) -> np.ndarray:
 
 
 def build_repeat_genome(rng, n: int, repeat_frac: float = 0.45,
-                        sine_frac: float = 0.30, line_frac: float = 0.10
-                        ) -> str:
+                        sine_frac: float = 0.30, line_frac: float = 0.10,
+                        gc_skew: bool = False) -> str:
     """n-base genome: random background with repeat copies written over it
-    at random positions (overlaps allowed, like real nested repeats)."""
-    g = _rand_seq(rng, n)
+    at random positions (overlaps allowed, like real nested repeats).
+    gc_skew draws the background from isochore-like GC blocks instead of
+    uniform 25/25/25/25 (_gc_background)."""
+    g = _gc_background(rng, n) if gc_skew else _rand_seq(rng, n)
     sine = _rand_seq(rng, 300)
     line = _rand_seq(rng, 6000)
     sat = _rand_seq(rng, 171)
@@ -91,12 +110,14 @@ def main(argv=None) -> int:
     ap.add_argument("--mb", type=float, default=4.0)
     ap.add_argument("--seed", type=int, default=7)
     ap.add_argument("--repeat-frac", type=float, default=0.45)
+    ap.add_argument("--gc-skew", action="store_true")
     ap.add_argument("--name", default="chrR")
     args = ap.parse_args(argv)
 
     rng = np.random.default_rng(args.seed)
     n = int(args.mb * 1_000_000)
-    g = build_repeat_genome(rng, n, repeat_frac=args.repeat_frac)
+    g = build_repeat_genome(rng, n, repeat_frac=args.repeat_frac,
+                            gc_skew=args.gc_skew)
     with open(args.out, "w") as f:
         f.write(f">{args.name}\n")
         for i in range(0, n, 80):

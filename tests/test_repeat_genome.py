@@ -107,3 +107,35 @@ def test_repeat_genome_sweep(tmp_path):
           f"retried {mapper.retried_reads}, overflow {mapper.overflow_reads}")
     assert total == 10_000
     assert sens >= 0.75, sens
+
+
+def test_gc_skew_genome_sensitivity(tmp_path):
+    """GC-skewed isochore background + repeats (VERDICT r4 missing #6:
+    uniform-composition fixtures never stress the lchash row balance —
+    AT-rich k-mers crowd their table rows on real-composition genomes).
+    1 Mb genome, 600 reads @3%: every read must map exactly (the retry
+    tier absorbs the skew-crowded vote slots)."""
+    from gen_repeat_genome import build_repeat_genome
+    from longreadmapper_tpu.models.mapper import TPUMapper
+    from longreadmapper_tpu.utils.config import Params
+
+    rng = np.random.default_rng(41)
+    genome = build_repeat_genome(rng, 1_000_000, gc_skew=True)
+    # composition sanity: a uniform genome is 50% GC; the isochore
+    # background centers ~41% (gen_repeat_genome._gc_background)
+    gc = sum(genome.count(c) for c in "GC") / len(genome)
+    assert gc < 0.47, gc
+
+    hlen = 10
+    params = Params(hlen=hlen)
+    _, _, _, idx, meta, mta = _build(tmp_path, genome, hlen)
+    reads = [(f"g{i}", s, None) for i, (_, s, *_) in enumerate(
+        sample_reads(rng, genome, 600, 1000, error_rate=0.03))]
+    mapper = TPUMapper(idx, meta, mta, params, chunk_b=256)
+    valid = total = 0
+    for recs in mapper.map_stream(reads[s:s + 256]
+                                  for s in range(0, len(reads), 256)):
+        valid += sum(r.valid for r in recs)
+        total += len(recs)
+    assert total == 600
+    assert valid / total >= 0.995, (valid, total)
