@@ -74,4 +74,12 @@ run bench_v64 2400 env LRM_VOTE_SLOTS=64 PASSES=3 python bench.py
 # and the lazy tail covers the rest — decides the LRM_OPS_HEAD default
 run bench_head16 2400 env LRM_OPS_HEAD=16 PASSES=3 python bench.py
 
+# 8. repeat-genome throughput on the real chip (VERDICT r4 weak #4: the
+# wide-lane + retry-tier cost on repeat-heavy genomes had no TPU
+# number).  Single (20, 300) point, 10k reads; chunk 2048 reuses the
+# hlen-12 compiled program when cached
+run repeat_tpu 3600 env LRM_SWEEP_TPU=1 python scripts/sweep_mini.py \
+    --n-reads 10000 --seed-lens 20 --thres 300 --chunk-b 2048 \
+    --out bench_captures/r05/repeat_tpu.jsonl
+
 echo "=== runlist r5 done $(date) ===" >> "$LOG"
