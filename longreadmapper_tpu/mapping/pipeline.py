@@ -291,11 +291,31 @@ class MapperConfig:
 
     @property
     def gact_W(self) -> int:
-        return max(64, self.W // 2) if self.half_band else self.W
+        if self.half_band:
+            return min(self.W, max(64, self.W // 2))
+        return self.W
 
     @property
     def gact_band(self) -> int:
         return -(-(2 * self.gact_W + 1) // 128) * 128
+
+    # narrow-band first pass for the SHORT-read path (opt-in A/B:
+    # LRM_SHORT_BAND=<W'>): same exact-or-retry contract as half_band,
+    # but the win only exists when 2*W'+1 crosses a 128-lane band
+    # boundary (the 1 kb bucket: W 102 -> 63 shrinks band 256 -> 128)
+    # AND typical ed stays ~6 sigma below W' — at high error rates every
+    # chunk would pay the retry dispatch, so this stays off by default.
+    short_W_override: int = 0
+
+    @property
+    def short_W(self) -> int:
+        if 0 < self.short_W_override < self.W:
+            return self.short_W_override
+        return self.W
+
+    @property
+    def short_band(self) -> int:
+        return -(-(2 * self.short_W + 1) // 128) * 128
 
     @property
     def meta_words(self) -> int:
@@ -313,6 +333,7 @@ class MapperConfig:
             pos64=meta.pos_dtype == "int64", slim=meta.slim,
             pallas_dirs=os.environ.get("LRM_PALLAS_DIRS", "") == "1",
             tb_cols=os.environ.get("LRM_TB_COLWALK", "1") != "0",
+            short_W_override=int(os.environ.get("LRM_SHORT_BAND", "0")),
             slot_pack=(lambda v: v if v in (1, 2, 4) else 1)(
                 int(os.environ.get("LRM_SLOT_PACK", "1"))))
 
@@ -912,30 +933,43 @@ def make_map_step(cfg: MapperConfig):
                 run_bytes = device_traceback_v(vdirsT, lens, L, W,
                                                band_major=True)
                 K = traceback_v_iters(L, W) + 4
+                band_short = jnp.zeros_like(found)
             elif cfg.tb_cols:
                 # column-consuming walk: one gather per INDEL instead of
                 # per 16-row word.  Dead lanes (unmapped / over-limit, SAM
                 # CIGAR '*' either way) skip their walk entirely via the
                 # masked lens — they would otherwise pace the while_loop.
-                vdirs, wcol, nm = banded_nw_dirs_v(q, t, W, band,
+                Ws, bands = cfg.short_W, cfg.short_band
+                vdirs, wcol, nm = banded_nw_dirs_v(q, t, Ws, bands,
                                                    with_nm=True)
                 ed_pre = wcol[lens, jnp.arange(B)].astype(jnp.int32)
-                alive = found & (ed_pre <= limits.astype(jnp.int32))
+                if Ws < W:
+                    # narrow-band first pass (cfg.short_W_override): same
+                    # exact-or-retry contract as the gact half_band
+                    band_short = found & (ed_pre >= jnp.int32(Ws)) & \
+                        (jnp.int32(Ws) <= limits.astype(jnp.int32))
+                    overflow = overflow.astype(jnp.int32) | \
+                        jnp.where(band_short, jnp.int32(4), jnp.int32(0))
+                else:
+                    band_short = jnp.zeros_like(found)
+                alive = found & (ed_pre <= limits.astype(jnp.int32)) & \
+                    ~band_short
                 lens_tb = jnp.where(alive, lens.astype(jnp.int32), 0)
-                run_units = device_traceback_c(vdirs, lens_tb, L, W, nm=nm)
+                run_units = device_traceback_c(vdirs, lens_tb, L, Ws,
+                                               nm=nm)
                 K = 2 * run_units.shape[1]      # bytes after bitcast
             else:
                 vdirs, wcol = banded_nw_dirs_v(q, t, W, band)
                 run_bytes = device_traceback_v(vdirs, lens, L, W)
                 # real run bytes for an in-limit read: <= L/16 + 2W + slack
                 K = traceback_v_iters(L, W) + 4
+                band_short = jnp.zeros_like(found)
         ed_raw = wcol[lens, jnp.arange(B)].astype(jnp.int32)
         limit = limits.astype(jnp.int32)
         ed = jnp.where(ed_raw <= limit, ed_raw, -1)
-        if cfg.use_gact and cfg.half_band:
-            # a bit-2 lane's ed' is only an upper bound — never report it
-            # (the retry splice replaces the whole row with exact values)
-            ed = jnp.where(band_short, -1, ed)
+        # a bit-2 lane's ed' is only an upper bound — never report it
+        # (the retry splice replaces the whole row with exact values)
+        ed = jnp.where(band_short, -1, ed)
 
         # Host-link layout: remote-attached TPUs pay per-array round trips
         # and ~MB/s-scale D2H, so everything leaves the device as exactly

@@ -210,7 +210,7 @@ class TPUMapper:
 
                 # the overflow-retry tier is a host-local affair; mesh
                 # runs stay single-tier on the full budget and band
-                cfg = replace(cfg, exact_slots=True)
+                cfg = replace(cfg, exact_slots=True, short_W_override=0)
                 step = make_sharded_map_step(cfg, self.mesh,
                                              shard_tables=self.shard_tables)
             else:
@@ -252,7 +252,7 @@ class TPUMapper:
             # full band as well as full vote budget: the retry tier is
             # the exact-everything tier (half-band bit-2 lanes land here)
             cfg_r = replace(cfg, B=min(cfg.B, 256), exact_slots=True,
-                            half_band=False)
+                            half_band=False, short_W_override=0)
             self._retry_steps[L] = (cfg_r, make_map_step(cfg_r))
         return self._retry_steps[L]
 

@@ -74,6 +74,10 @@ run bench_v64 2400 env LRM_VOTE_SLOTS=64 PASSES=3 python bench.py
 # and the lazy tail covers the rest — decides the LRM_OPS_HEAD default
 run bench_head16 2400 env LRM_OPS_HEAD=16 PASSES=3 python bench.py
 
+# 7b. narrow-band short-read pass (W 102 -> 63 shrinks band 256 -> 128;
+# ed at 3% err is 30 +- 5.4 so the retry tier ~never fires here)
+run bench_sb63 2400 env LRM_SHORT_BAND=63 PASSES=3 python bench.py
+
 # 8. repeat-genome throughput on the real chip (VERDICT r4 weak #4: the
 # wide-lane + retry-tier cost on repeat-heavy genomes had no TPU
 # number).  Single (20, 300) point, 10k reads; chunk 2048 reuses the

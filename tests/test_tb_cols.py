@@ -93,3 +93,61 @@ def test_cwalk_pure_match_single_iteration():
     g = _groups_per_read(rc, B, True)
     for b in range(B):
         assert g[b] == [(L, 0)]
+
+
+def test_short_band_override_matches_full(tmp_path, monkeypatch):
+    """LRM_SHORT_BAND=<W'> narrow-band first pass on the short-read path:
+    reads with ed >= W' (here ~7% error vs W'=63) must flag bit 2 and
+    re-run through the full-band tier; results identical to default."""
+    import numpy as np
+    from longreadmapper_tpu.formats.catmeta import (create_meta, load_cat,
+                                                    load_mta)
+    from longreadmapper_tpu.index.device import build_device_index
+    from longreadmapper_tpu.index.fmi import FMIndex, encode_bytes
+    from longreadmapper_tpu.index.lchash import lc_build_from_sa
+    from longreadmapper_tpu.index.sa import sa_build
+    from longreadmapper_tpu.models.mapper import TPUMapper
+    from longreadmapper_tpu.utils.config import Params
+
+    rng = np.random.default_rng(13)
+    genome = "".join("ACGT"[c] for c in rng.integers(0, 4, 60000))
+    fa = str(tmp_path / "g.fa")
+    with open(fa, "w") as f:
+        f.write(">c1\n")
+        for i in range(0, len(genome), 70):
+            f.write(genome[i:i + 70] + "\n")
+    params = Params(hlen=6)
+    mta = create_meta(fa, n_seed=0)
+    prefix = fa + ".cat"
+    sa = sa_build(prefix)
+    fmi = FMIndex.build(prefix, sa=sa)
+    kl = lc_build_from_sa(fmi.sa, encode_bytes(load_cat(prefix)), 6)
+    idx, meta = build_device_index(fmi, kl, 6, load_cat(prefix),
+                                   load_mta(fa + ".mta"))
+    mta_l = load_mta(fa + ".mta")
+
+    reads = []
+    for i in range(8):
+        p = int(rng.integers(0, len(genome) - 1000))
+        ch = np.frombuffer(genome[p:p + 1000].encode(), np.uint8).copy()
+        err = 0.10 if i % 2 else 0.02  # ~7.5% effective (same-base
+        # draws are no-ops) -> ed ~ 75 +- 8 crosses W'=63; limit 100
+        m = rng.random(1000) < err
+        ch[m] = np.frombuffer(b"ACGT", np.uint8)[
+            rng.integers(0, 4, int(m.sum()))]
+        reads.append((f"n{i}", ch.tobytes().decode(), None))
+
+    m_full = TPUMapper(idx, meta, mta_l, params, chunk_b=8)
+    recs_full = m_full.map_chunk(reads)
+
+    monkeypatch.setenv("LRM_SHORT_BAND", "63")
+    m_nar = TPUMapper(idx, meta, mta_l, params, chunk_b=8)
+    cfg, _ = m_nar._step_for(1024)
+    assert cfg.short_W == 63 and cfg.short_band == 128 and cfg.band == 256
+    recs_nar = m_nar.map_chunk(reads)
+    assert m_nar.retried_reads > 0
+    assert m_nar.overflow_reads == 0
+    for rf, rn in zip(recs_full, recs_nar):
+        assert rn.valid == rf.valid
+        assert rn.ed == rf.ed and rn.off == rf.off
+        assert rn.cigar == rf.cigar
