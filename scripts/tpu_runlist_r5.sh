@@ -86,4 +86,15 @@ run repeat_tpu 3600 env LRM_SWEEP_TPU=1 python scripts/sweep_mini.py \
     --n-reads 10000 --seed-lens 20 --thres 300 --chunk-b 2048 \
     --out bench_captures/r05/repeat_tpu.jsonl
 
+# 9. 800 Mb genome, slim layout — a size where the FULL layout (~17 GB)
+# exceeds the chip's 16 GB HBM but slim (~11.8 GB) fits: slim's raison
+# d'etre measured.  Guarded: the 1-core host build takes ~2.5 h and may
+# not have finished when this list fires.
+if [ -d /tmp/lrm_big800/ref.fa.cat.devidx ]; then
+  run big800_slim 7200 python scripts/bench_big.py --dir /tmp/lrm_big800 \
+      --n-reads 100000 --chunk-b 2048 --slim
+else
+  echo "big800 index not ready — skipped" >> "$LOG"
+fi
+
 echo "=== runlist r5 done $(date) ===" >> "$LOG"
