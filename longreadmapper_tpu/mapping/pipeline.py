@@ -865,8 +865,7 @@ def make_map_step(cfg: MapperConfig):
             # run-consuming walk keeps memory O(tile * band) instead of
             # O(L * band) (ops/gact.py); same run-byte format as the
             # short path, so everything downstream is shared
-            from ..ops.gact import (gact_forward, gact_runs_cols,
-                                    gact_runs_cols_c, gact_traceback_c,
+            from ..ops.gact import (gact_forward, gact_traceback_c,
                                     gact_traceback_v)
             T = cfg.gact_tile
             Wg, bandg = cfg.gact_W, cfg.gact_band
