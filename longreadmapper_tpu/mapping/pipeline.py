@@ -128,13 +128,20 @@ class MapperConfig:
     tb_cols: bool = True
 
     @property
-    def tb_entry16(self) -> bool:
-        """True when the CIGAR runs in the blob are 16-bit entries (both
-        column-consuming walks: device_traceback_c on the short path,
-        gact_traceback_c on the tiled long-read path)."""
+    def tb_entry_bytes(self) -> int:
+        """Entry width of the CIGAR runs in the blob: 1 = per-word walk
+        int8 run bytes; 2/4 = column-walk (count << 2 | op) entries.
+        The count field is entry_bits - 2 wide, and counts reach L on
+        the resident-dirs mid-length path — int16's 14-bit field
+        overflows at 8192, so those buckets ship int32 entries.  The
+        tiled gact walk's counts are bounded by max(T, band - W) < 8192
+        (asserted in ops/gact), so it stays at 2."""
         if self.use_gact:
-            return self.tb_cols
-        return self.tb_cols and not self.pallas_dirs
+            return 2 if self.tb_cols else 1
+        if not self.tb_cols or self.pallas_dirs:
+            return 1
+        cmax = max(self.L, self.short_band - self.short_W)
+        return 2 if cmax < 8192 else 4
     # slim HBM index layout (IndexMeta.slim): sa_ctx carries SA only and
     # the 16-base verify window is recomputed from a text_pair gather
     slim: bool = False
@@ -145,9 +152,21 @@ class MapperConfig:
     # H2D traffic and removes ~26 ms/chunk of host LUT passes at B=2048.
     raw_input: bool = False
 
+    # resident-dirs ceiling for mid-length reads: the tiled gact path
+    # exists because a full direction volume is O(L * band) HBM, but at
+    # the mapper's scaled-down batch sizes a 10-16 kb bucket's volume is
+    # only ~0.5-0.9 GB — the single-pass short-read path (no 2x
+    # rematerialization, per-indel walk with NO per-tile loop) wins
+    # whenever it fits.  gact remains for genuinely long reads (50 kb+)
+    # and mesh configs that force it.  LRM_MID_DIRS_BUDGET overrides.
+    mid_dirs_budget: int = 1 << 30
+
     @property
     def use_gact(self) -> bool:
-        return self.L > self.gact_threshold
+        if self.L <= self.gact_threshold:
+            return False
+        vol = self.B * (self.L // 16) * self.short_band * 4
+        return vol > self.mid_dirs_budget
 
     @property
     def accept_frac(self):
@@ -334,6 +353,8 @@ class MapperConfig:
             pallas_dirs=os.environ.get("LRM_PALLAS_DIRS", "") == "1",
             tb_cols=os.environ.get("LRM_TB_COLWALK", "1") != "0",
             short_W_override=int(os.environ.get("LRM_SHORT_BAND", "0")),
+            mid_dirs_budget=int(os.environ.get("LRM_MID_DIRS_BUDGET",
+                                               1 << 30)),
             slot_pack=(lambda v: v if v in (1, 2, 4) else 1)(
                 int(os.environ.get("LRM_SLOT_PACK", "1"))))
 
@@ -954,9 +975,11 @@ def make_map_step(cfg: MapperConfig):
                 alive = found & (ed_pre <= limits.astype(jnp.int32)) & \
                     ~band_short
                 lens_tb = jnp.where(alive, lens.astype(jnp.int32), 0)
-                run_units = device_traceback_c(vdirs, lens_tb, L, Ws,
-                                               nm=nm)
-                K = 2 * run_units.shape[1]      # bytes after bitcast
+                run_units = device_traceback_c(
+                    vdirs, lens_tb, L, Ws, nm=nm,
+                    entry_dtype=jnp.int16 if cfg.tb_entry_bytes == 2
+                    else jnp.int32)
+                K = cfg.tb_entry_bytes * run_units.shape[1]
             else:
                 vdirs, wcol = banded_nw_dirs_v(q, t, W, band)
                 run_bytes = device_traceback_v(vdirs, lens, L, W)
@@ -994,10 +1017,10 @@ def make_map_step(cfg: MapperConfig):
         # into one array (the link also pays a round trip PER ARRAY);
         # `ops_tail` is fetched lazily only when some read overflows the
         # head
-        if cfg.tb_entry16:
-            # pad-sort the 16-bit entries, then ship them bitcast to
-            # little-endian byte pairs (the host decode views them back
-            # as int16 — models/mapper._rle_groups entry16 path)
+        if cfg.tb_entry_bytes > 1:
+            # pad-sort the 16/32-bit entries, then ship them bitcast to
+            # little-endian byte groups (the host decode views them back
+            # at cfg.tb_entry_bytes width — models/mapper._rle_groups)
             is_pad = ((run_units & 3) == 3).astype(jnp.int8)
             _, cu = lax.sort((is_pad, run_units), dimension=1,
                              is_stable=True, num_keys=1)
@@ -1011,14 +1034,14 @@ def make_map_step(cfg: MapperConfig):
         # path ships all K eagerly (the compute per chunk dwarfs the D2H);
         # short reads ship a small head + lazy tail
         head = K if cfg.use_gact else min(cfg.ops_head_cols, K)
-        if cfg.tb_entry16 and not cfg.use_gact:
+        if cfg.tb_entry_bytes > 1 and not cfg.use_gact:
             # entries are one per M-run/indel (not one per 16-row word):
             # a typical read needs 1-2, a 15-indel read 31 — so the eager
             # head can be 4x smaller than the byte format's, cutting the
             # pass's dominant D2H blob ~2x (the link runs ~15 MB/s);
             # rare indel-heavy chunks pay one lazy tail fetch instead
             head = min(head, int(os.environ.get("LRM_OPS_HEAD", "64")))
-            head &= ~1                    # whole 2-byte entries only
+            head -= head % cfg.tb_entry_bytes     # whole entries only
         meta_bytes = lax.bitcast_convert_type(meta, jnp.int8).reshape(
             B, 4 * cfg.meta_words)
         blob = jnp.concatenate([meta_bytes, compact[:, :head]], axis=1)

@@ -52,18 +52,19 @@ class MapRecord:
 _OP_CHARS = np.frombuffer(b"MID?", dtype=np.uint8)
 
 
-def _rle_groups(runs: np.ndarray, entry16: bool = False):
+def _rle_groups(runs: np.ndarray, entry_bytes: int = 1):
     """Decode device_traceback_v output for a WHOLE chunk in one numpy
     pass: (count << 2 | op) bytes in reverse path order -> merged
     forward-order groups (g_row, g_op, tot).  Per-read numpy calls cost
     more than the device step at these throughputs.
 
-    entry16: the runs are device_traceback_c's 16-bit entries shipped as
-    little-endian byte pairs (MapperConfig.tb_entry16) — same format,
-    wider counts."""
-    if entry16:
-        runs = np.ascontiguousarray(runs[:, :runs.shape[1] & ~1]).view(
-            np.int16)
+    entry_bytes 2/4: the runs are a column walk's int16/int32 entries
+    shipped as little-endian byte groups (MapperConfig.tb_entry_bytes) —
+    same format, wider counts."""
+    if entry_bytes > 1:
+        w = runs.shape[1] - runs.shape[1] % entry_bytes
+        runs = np.ascontiguousarray(runs[:, :w]).view(
+            np.int16 if entry_bytes == 2 else np.int32)
     rev = runs[:, ::-1]
     op = rev & 3
     cnt = (rev >> 2).astype(np.int64)
@@ -82,28 +83,30 @@ def _rle_groups(runs: np.ndarray, entry16: bool = False):
 
 
 def _rle_runs_batch(runs: np.ndarray,
-                    entry16: bool = False) -> List[List[Tuple[int, str]]]:
+                    entry_bytes: int = 1) -> List[List[Tuple[int, str]]]:
     B = runs.shape[0]
     out: List[List[Tuple[int, str]]] = [[] for _ in range(B)]
-    for r, o, t in zip(*_rle_groups(runs, entry16)):
+    for r, o, t in zip(*_rle_groups(runs, entry_bytes)):
         out[r].append((int(t), chr(_OP_CHARS[o])))
     return out
 
 
-def _tail_needed(ops: np.ndarray, entry16: bool) -> bool:
+def _tail_needed(ops: np.ndarray, entry_bytes: int) -> bool:
     """True when some read's runs reach the last eager head slot (the
     lazily-fetched tail may hold more).  The sentinel is the LAST ENTRY's
-    op bits — for 16-bit entries that is the low byte of the final pair."""
-    col = -2 if entry16 else -1
-    if ops.shape[1] < (2 if entry16 else 1):
+    op bits — for multi-byte entries that is the low byte of the final
+    group (little-endian)."""
+    col = -entry_bytes
+    if ops.shape[1] < entry_bytes:
         return True
     return bool((np.asarray(ops[:, col]) & 3 != 3).any())
 
 
-def _cigar_strings_batch(runs: np.ndarray, entry16: bool = False) -> List[str]:
+def _cigar_strings_batch(runs: np.ndarray,
+                         entry_bytes: int = 1) -> List[str]:
     """Per-read CIGAR strings straight from the packed run bytes."""
     B = runs.shape[0]
-    g_row, g_op, tot = _rle_groups(runs, entry16)
+    g_row, g_op, tot = _rle_groups(runs, entry_bytes)
     parts: List[List[str]] = [[] for _ in range(B)]
     opc = "MID?"
     for r, o, t in zip(g_row.tolist(), g_op.tolist(), tot.tolist()):
@@ -214,12 +217,16 @@ class TPUMapper:
                 step = make_sharded_map_step(cfg, self.mesh,
                                              shard_tables=self.shard_tables)
             else:
-                if cfg.use_gact and \
+                if L > cfg.gact_threshold and \
                         os.environ.get("LRM_HALF_BAND", "1") != "0":
                     # long-read primary pass at half band: DP cells halve;
                     # rare ed >= W/2 lanes re-run through the full-band
-                    # retry tier (MapperConfig.half_band, overflow bit 2)
-                    cfg = replace(cfg, half_band=True)
+                    # retry tier (overflow bit 2).  Set for BOTH long
+                    # paths: half_band covers gact, short_W_override the
+                    # resident-dirs mid-length path (MapperConfig.use_gact
+                    # picks by dirs-volume fit)
+                    cfg = replace(cfg, half_band=True,
+                                  short_W_override=max(64, cfg.W // 2))
                 step = make_map_step(cfg)
             self._steps[L] = (cfg, step)
         return self._steps[L]
@@ -487,7 +494,7 @@ class TPUMapper:
                     blob[:, :mb]).view(np.int32)
                 out["ops"] = blob[:, mb:]
             if tail is not None and _tail_needed(out["ops"],
-                                                 cfg.tb_entry16):
+                                                 cfg.tb_entry_bytes):
                 out["ops"] = np.concatenate(
                     [out["ops"], jax.device_get(tail)], axis=1)
             out = self._retry_saturation(cfg, reads, out)
@@ -522,7 +529,7 @@ class TPUMapper:
         mb = 4 * cfg_s.meta_words
         meta_s = np.ascontiguousarray(blob[:, :mb]).view(np.int32)
         ops_s = blob[:, mb:]
-        if ops_s.shape[1] and _tail_needed(ops_s, cfg_s.tb_entry16):
+        if ops_s.shape[1] and _tail_needed(ops_s, cfg_s.tb_entry_bytes):
             ops_s = np.concatenate([ops_s, np.asarray(tail_s)], axis=1)
         self.retried_sat_chunks += 1
         return dict(out, meta=meta_s, ops=ops_s)
@@ -566,7 +573,7 @@ class TPUMapper:
             mb = 4 * cfg_r.meta_words
             meta_r = np.ascontiguousarray(blob[:, :mb]).view(np.int32)
             ops_r = blob[:, mb:]
-            if ops_r.shape[1] and _tail_needed(ops_r, cfg_r.tb_entry16):
+            if ops_r.shape[1] and _tail_needed(ops_r, cfg_r.tb_entry_bytes):
                 ops_r = np.concatenate([ops_r, np.asarray(tail_r)], axis=1)
             if ops_r.shape[1] > ops.shape[1]:
                 pad = np.full((ops.shape[0], ops_r.shape[1] - ops.shape[1]),
@@ -701,7 +708,7 @@ class TPUMapper:
         found, gi, strand, off, ed = self._meta_cols(cfg, meta)
         n = len(reads)
         cigs = _cigar_strings_batch(np.asarray(out["ops"][:n]),
-                                    cfg.tb_entry16)
+                                    cfg.tb_entry_bytes)
         valid_l = (found & (ed >= 0))[:n].tolist()
         strand_l = strand[:n].tolist()
         found_l = found[:n].tolist()
@@ -752,7 +759,8 @@ class TPUMapper:
             strand = meta[:, 3] != 0
             off = meta[:, 4]
             ed = meta[:, 5]
-        all_runs = _rle_runs_batch(np.asarray(out["ops"]), cfg.tb_entry16)
+        all_runs = _rle_runs_batch(np.asarray(out["ops"]),
+                           cfg.tb_entry_bytes)
 
         recs: List[MapRecord] = []
         for i, (name, seq, qual) in enumerate(reads):

@@ -70,7 +70,8 @@ def traceback_c_iters(L: int, W: int) -> int:
     return W + 6
 
 
-def device_traceback_c(vdirs, lens, L: int, W: int, nm=None):
+def device_traceback_c(vdirs, lens, L: int, W: int, nm=None,
+                       entry_dtype=jnp.int16):
     """Column-consuming CIGAR walk: one iteration per INDEL on the path.
 
     vdirs: (G, B, band) int32 — banded_nw_dirs_v's words, UNtransposed.
@@ -95,14 +96,21 @@ def device_traceback_c(vdirs, lens, L: int, W: int, nm=None):
     L/16 + 2*edits (substitutions are M in unit-cost edit distance, so a
     3%-substitution 1 kb read batch walks in ~3 iterations, not ~64).
 
-    Returns runs (B, 2 * traceback_c_iters(L, W)) int16 in reverse path
-    order, each entry (count << 2) | op, ops 0=M 1=I 2=D, pad op 3 /
-    count 0; counts reach L (not 16), hence the 16-bit entries — the
-    host decode is shared with the byte format modulo the dtype
+    Returns runs (B, 2 * traceback_c_iters(L, W)) of `entry_dtype` in
+    reverse path order, each entry (count << 2) | op, ops 0=M 1=I 2=D,
+    pad op 3 / count 0.  Counts reach max(L, band - W): the count field
+    is dtype_bits - 2 wide, so callers MUST pass entry_dtype=jnp.int32
+    when that exceeds 8191 (mid-length resident-dirs buckets — an int16
+    21110M entry silently truncates to 4726M).  The host decode is
+    shared with the byte format modulo the dtype
     (models/mapper._rle_groups).  Lanes with lens <= 0 emit nothing:
     callers mask dead reads (ed > limit) to skip their walk entirely.
     """
     G, B, band = vdirs.shape
+    # count field = dtype_bits - 2: mrun <= L and the row-0 D-run < band
+    assert max(L, band - W) < \
+        (1 << (jnp.dtype(entry_dtype).itemsize * 8 - 3)), \
+        (L, band, W, entry_dtype)
     Vf = vdirs.reshape(-1)
     bidx = jnp.arange(B, dtype=jnp.int32)
     n_iter = traceback_c_iters(L, W)
@@ -174,7 +182,7 @@ def device_traceback_c(vdirs, lens, L: int, W: int, nm=None):
         e1 = jnp.where(mrun > 0, (mrun << 2) | OP_M, OP_PAD)
         e2 = jnp.where(take_e, 4 | op,
                        jnp.where(drun > 0, (drun << 2) | OP_D, OP_PAD))
-        out = jnp.stack([e1, e2], axis=1).astype(jnp.int16)
+        out = jnp.stack([e1, e2], axis=1).astype(entry_dtype)
         return (i3, j4, done2), out
 
     lens32 = lens.astype(jnp.int32)
@@ -190,8 +198,9 @@ def device_traceback_c(vdirs, lens, L: int, W: int, nm=None):
                                        (it, jnp.int32(0), jnp.int32(0)))
         return it + 1, carry2, buf
 
-    zb16 = (lens32 * 0).astype(jnp.int16)
-    buf0 = jnp.full((n_iter, B, 2), OP_PAD, jnp.int16) + zb16[None, :, None]
+    zb16 = (lens32 * 0).astype(entry_dtype)
+    buf0 = jnp.full((n_iter, B, 2), OP_PAD, entry_dtype) + \
+        zb16[None, :, None]
     carry0 = (lens32, lens32, lens32 <= 0)
     _, _, runs = lax.while_loop(cond, body, (jnp.int32(0), carry0, buf0))
     return jnp.transpose(runs, (1, 0, 2)).reshape(B, -1)

@@ -78,10 +78,12 @@ def test_gact_checkpoint_memory_shape():
     assert ops.shape == (B, (L // T) * (T + W + 1))
 
 
-def test_long_read_e2e_bucket(tmp_path):
+def test_long_read_e2e_bucket(tmp_path, monkeypatch):
     """Reads past gact_threshold flow through the tiled path inside the full
-    mapper and still match the oracle."""
+    mapper and still match the oracle (forced: at these tiny shapes the
+    resident-dirs mid-length path would win the volume rule)."""
     import numpy as np
+    monkeypatch.setenv("LRM_MID_DIRS_BUDGET", "0")
     from longreadmapper_tpu.formats.catmeta import create_meta, load_cat, load_mta
     from longreadmapper_tpu.index.device import build_device_index
     from longreadmapper_tpu.index.fmi import FMIndex, encode_bytes
@@ -262,6 +264,11 @@ def test_long_reads_through_mapper_path(L, n_edits, tmp_path):
     read = chars.tobytes().decode()
 
     mapper = TPUMapper(idx, meta, load_mta(fa + ".mta"), params, chunk_b=1)
+    # at chunk_b=1 the dirs volume fits the resident budget: these long
+    # reads exercise the mid-length single-pass path (no remat), at half
+    # band (MapperConfig.use_gact volume rule + short_W_override)
+    cfg_lr, _ = mapper._step_for(L)
+    assert not cfg_lr.use_gact and cfg_lr.short_W < cfg_lr.W
     recs = mapper.map_chunk([("lr", read, None)])
     rec = recs[0]
     assert rec.valid, (rec.ed, rec.rname)
@@ -393,6 +400,7 @@ def test_gact_half_band_retry_matches_full(tmp_path, monkeypatch):
         reads.append((f"h{i}", ch.tobytes().decode(), None))
 
     mta_l = load_mta(fa + ".mta")
+    monkeypatch.setenv("LRM_MID_DIRS_BUDGET", "0")   # force the gact path
     m_half = TPUMapper(idx, meta, mta_l, params, chunk_b=6)
     cfg, _ = m_half._step_for(4096)
     assert cfg.use_gact and cfg.half_band and cfg.gact_W == cfg.W // 2

@@ -101,6 +101,7 @@ def test_pack_long_read_sort_path(tmp_path, monkeypatch):
         reads.append((f"lr{i}", "".join(s)))
     r1, _ = _map_with_pack(monkeypatch, idx, meta, mta, params, reads, 1,
                            chunk_b=4)
+    monkeypatch.setenv("LRM_MID_DIRS_BUDGET", "0")   # force the gact path
     r2, m2 = _map_with_pack(monkeypatch, idx, meta, mta, params, reads, 2,
                             chunk_b=4)
     (cfg2, _), = m2._steps.values()

@@ -20,7 +20,8 @@ from longreadmapper_tpu.ops.wavefront import banded_nw_dirs_v  # noqa: E402
 
 
 def _groups_per_read(runs, B, entry16):
-    rows, ops, tot = _rle_groups(np.asarray(runs), entry16=entry16)
+    rows, ops, tot = _rle_groups(np.asarray(runs),
+                                 entry_bytes=2 if entry16 else 1)
     out = [[] for _ in range(B)]
     for r, o, t in zip(rows.tolist(), ops.tolist(), tot.tolist()):
         out[r].append((t, o))
