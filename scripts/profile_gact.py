@@ -65,14 +65,17 @@ def main():
     L = _bucket_len(RL)
     params = Params(hlen=HLEN)
     cfg = MapperConfig.from_params(params, meta, B=B, L=L)
-    assert cfg.use_gact
     if os.environ.get("LRM_HALF_BAND", "1") != "0":
         from dataclasses import replace
-        cfg = replace(cfg, half_band=True)     # the production config
+        # the production mapper config for long buckets: half band on
+        # the gact path AND the resident-dirs path (models/mapper)
+        cfg = replace(cfg, half_band=True,
+                      short_W_override=max(64, cfg.W // 2))
     T, W, band = cfg.gact_tile, cfg.gact_W, cfg.gact_band
     print(f"cfg: B={B} L={L} T={T} W={W} band={band} "
-          f"half_band={cfg.half_band} vote_slots={cfg.vote_slots}",
-          flush=True)
+          f"half_band={cfg.half_band} use_gact={cfg.use_gact} "
+          f"(dirs vol {cfg.B * (cfg.L // 16) * cfg.short_band * 4 / 1e6:.0f}"
+          f" MB) vote_slots={cfg.vote_slots}", flush=True)
 
     rng = np.random.default_rng(7)
     q = np.full((B, L), 4, np.int8)
@@ -129,11 +132,32 @@ def main():
     t_v = timeit(tbv, q_aln, t_arr, ckpt, lens_j)
     print(f"gact_traceback_v (per-word):  {t_v*1e3:.1f} ms", flush=True)
 
+    # resident-dirs path stages (the production default when the dirs
+    # volume fits — MapperConfig.use_gact): single-pass dirs DP + the
+    # per-indel walk over the whole resident volume
+    from longreadmapper_tpu.ops.traceback import device_traceback_c
+    from longreadmapper_tpu.ops.wavefront import banded_nw_dirs_v
+    Ws, bands = cfg.short_W, cfg.short_band
+    rd = jax.jit(lambda a, b: banded_nw_dirs_v(a, b, Ws, bands,
+                                               with_nm=True))
+    t_rd = timeit(rd, q_aln, t_arr)
+    print(f"resident dirs DP (with_nm): {t_rd*1e3:.1f} ms -> "
+          f"{B * L * bands / t_rd / 1e9:.2f} Gcells/s", flush=True)
+    vdirs_r, _, nm_r = rd(q_aln, t_arr)
+    edt = jnp.int32
+    rw = jax.jit(lambda v, ln, nm_a: device_traceback_c(
+        v, ln, L, Ws, nm=nm_a,
+        entry_dtype=edt if max(L, bands - Ws) >= 8192 else jnp.int16))
+    t_rw = timeit(rw, vdirs_r, lens_j, nm_r)
+    print(f"resident per-indel walk: {t_rw*1e3:.1f} ms "
+          f"(vs gact fwd+walk_c {(t_f + t_c)*1e3:.1f})", flush=True)
+
     step = make_map_step(cfg)
     dq, dqrc, dl, dlim = map(jnp.asarray, (q, qrc, lens, limits))
     t_s = timeit(lambda: step(idx, dq, dqrc, dl, dlim), n=3)
-    print(f"full step: {t_s*1e3:.1f} ms -> {B/t_s:.0f} reads/s device-side "
-          f"(fwd {t_f*1e3:.1f} + walk_c {t_c*1e3:.1f} of it)", flush=True)
+    path = "gact" if cfg.use_gact else "resident"
+    print(f"full step ({path}): {t_s*1e3:.1f} ms -> {B/t_s:.0f} reads/s "
+          f"device-side", flush=True)
 
 
 if __name__ == "__main__":
