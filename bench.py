@@ -60,26 +60,35 @@ def _ensure_backend_reachable() -> tuple:
     if not os.environ.get("PALLAS_AXON_POOL_IPS"):
         return "local", None  # no tunnel configured; whatever jax picks is ok
     import subprocess
-    try:
-        r = subprocess.run(
-            [sys.executable, "-c",
-             "import time, jax, numpy as np;"
-             "print(jax.devices());"
-             "x = jax.jit(lambda a: a @ a)("
-             "jax.device_put(np.ones((64, 64), np.float32)));"
-             "t0 = time.time(); np.asarray(x);"
-             "print('D2H', time.time() - t0)"],
-            capture_output=True, text=True, timeout=240)
-        if r.returncode == 0:
-            d2h = None
-            for tok in r.stdout.split():
-                try:
-                    d2h = float(tok)
-                except ValueError:
-                    pass
-            return "tpu", d2h
-    except subprocess.TimeoutExpired:
-        pass
+    # the link FLAPS on a minutes scale (watch logs 2026-08-20: healthy
+    # probe at 11:09, dead at 11:10, healthy 11:17) — retry the probe a
+    # few times before surrendering to the CPU fallback, so a driver
+    # capture that lands in a flap still gets a real TPU row
+    for attempt in range(3):
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c",
+                 "import time, jax, numpy as np;"
+                 "print(jax.devices());"
+                 "x = jax.jit(lambda a: a @ a)("
+                 "jax.device_put(np.ones((64, 64), np.float32)));"
+                 "t0 = time.time(); np.asarray(x);"
+                 "print('D2H', time.time() - t0)"],
+                capture_output=True, text=True, timeout=240)
+            if r.returncode == 0:
+                d2h = None
+                for tok in r.stdout.split():
+                    try:
+                        d2h = float(tok)
+                    except ValueError:
+                        pass
+                return "tpu", d2h
+        except subprocess.TimeoutExpired:
+            pass
+        if attempt < 2:
+            log(f"TPU probe failed (attempt {attempt + 1}/3) -- "
+                f"retrying in 90s")
+            time.sleep(90)
     log("TPU tunnel unreachable -- re-exec on CPU backend (reduced size)")
     # LRM_PALLAS_DIRS must not survive the fallback: Pallas kernels only
     # lower in interpret mode on CPU (round-4 bench_pallas crashed here)
