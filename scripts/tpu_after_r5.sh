@@ -67,5 +67,10 @@ _signal_build STOP
 run bench_retry    2400 python bench.py
 run bench_long10k  3600 env RLEN=10000 NREADS=2048 PASSES=3 python bench.py
 run bench_long50k  5400 env RLEN=50000 NREADS=256 PASSES=3 python bench.py
-_signal_build CONT
-echo "=== after r5 done $(date) ===" >> "$LOG"
+# deliberately LEAVE the 800 Mb build suspended: it cannot finish in the
+# wall clock that remains (fmi+lchash+devidx ~5500 s at 1.6e9 chars), so
+# big800_slim cannot land this round either way — and a CONTed build
+# would time-slice the 1-core host under the driver's end-of-round
+# bench.py (CLAUDE.md).  The build resumes in a future session via
+# `kill -CONT` if its /tmp survives.
+echo "=== after r5 done $(date) — build left SUSPENDED ===" >> "$LOG"
