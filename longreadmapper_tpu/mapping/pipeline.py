@@ -1039,8 +1039,10 @@ def make_map_step(cfg: MapperConfig):
             # a typical read needs 1-2, a 15-indel read 31 — so the eager
             # head can be 4x smaller than the byte format's, cutting the
             # pass's dominant D2H blob ~2x (the link runs ~15 MB/s);
-            # rare indel-heavy chunks pay one lazy tail fetch instead
-            head = min(head, int(os.environ.get("LRM_OPS_HEAD", "64")))
+            # rare indel-heavy chunks pay one lazy tail fetch instead.
+            # Default 16 B (8 entries): measured 32.4k vs 31.3k reads/s
+            # at 64 B on the 4 Mb bench (r5 bench_head16, healthy link)
+            head = min(head, int(os.environ.get("LRM_OPS_HEAD", "16")))
             head -= head % cfg.tb_entry_bytes     # whole entries only
         meta_bytes = lax.bitcast_convert_type(meta, jnp.int8).reshape(
             B, 4 * cfg.meta_words)
