@@ -109,12 +109,16 @@ def main():
     # no JSON line at all.  Shrink the workload so a (marked) row always
     # lands; explicit NREADS/PASSES env overrides are respected.
     if probe_d2h is not None and probe_d2h > 10:
-        if "NREADS" not in os.environ:
+        # two tiers (r5 session-2 data): a 15 s probe ran FULL-workload
+        # passes at healthy speed (the probe pays the flap, the passes
+        # often don't), so only cap passes there; reserve the workload
+        # shrink for the real degradation mode (probes 30-200 s)
+        if probe_d2h > 30 and "NREADS" not in os.environ:
             # scale the shrink by read length (a 10 kb run moves 10x the
             # bases per read)
             N_READS = min(N_READS, max(512, 4096 * 1000 // READ_LEN))
         if "PASSES" not in os.environ:
-            PASSES = min(PASSES, 2)
+            PASSES = min(PASSES, 2 if probe_d2h > 30 else 3)
         log(f"degraded link (D2H {probe_d2h:.0f}s): reduced workload "
             f"NREADS={N_READS} PASSES={PASSES}")
     import jax
@@ -262,10 +266,14 @@ def main():
     if backend_note == "cpu-fallback":
         row["note"] = ("TPU tunnel unreachable; CPU-backend fallback -- "
                        "NOT comparable to TPU rows")
-    elif probe_d2h is not None and probe_d2h > 10:
+    elif probe_d2h is not None and probe_d2h > 30:
         row["note"] = (f"TPU link DEGRADED at capture (D2H probe "
                        f"{probe_d2h:.0f}s vs ~0.03s healthy) -- value is "
                        f"a link artifact, see BASELINE.md for clean runs")
+    elif probe_d2h is not None and probe_d2h > 10:
+        row["note"] = (f"TPU link flapped at probe (D2H {probe_d2h:.0f}s) "
+                       f"-- full workload ran; value may still understate "
+                       f"a clean link (see BASELINE.md)")
     print(json.dumps(row))
 
 
